@@ -1,0 +1,94 @@
+"""Clear-side (non-circuit) NTT over Z_q, numpy and batched-JAX flavors.
+
+TPU-native equivalent of the falcon-rust polynomial layer's clear NTT
+(`NTTPolynomial::from(&Polynomial)`, used at
+`/root/reference/falcon-r1cs/src/circuits/falcon_ntt.rs:45,51`).  The loop
+structure mirrors the Falcon C `mq_NTT` / the reference circuit loop
+(`/root/reference/falcon-r1cs/src/gadgets/poly.rs:116-149`) but is expressed
+stage-wise over whole coefficient tensors so it vectorizes on the VPU and
+vmaps over a batch axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import Q, get_params
+
+
+def ntt(coeffs: np.ndarray) -> np.ndarray:
+    """Forward negacyclic NTT of int array(s) with trailing axis n. mod q.
+
+    Accepts shape (..., n).  Stage-wise Cooley-Tukey: at stage l the array is
+    viewed as (..., 2^l, 2, half) and each pair of halves is combined with the
+    per-group twiddle table[2^l + i] -- the same access pattern as
+    `/root/reference/falcon-r1cs/src/gadgets/poly.rs:122`.
+    """
+    x = np.asarray(coeffs, dtype=np.int64) % Q
+    n = x.shape[-1]
+    p = get_params(n)
+    table = np.asarray(p.ntt_table, dtype=np.int64)
+    batch = x.shape[:-1]
+    for l in range(p.log_n):
+        m = 1 << l
+        half = n >> (l + 1)
+        x = x.reshape(*batch, m, 2, half)
+        s = table[m : 2 * m].reshape(*(1,) * len(batch), m, 1)
+        u = x[..., 0, :]
+        v = x[..., 1, :] * s % Q
+        x = np.stack([(u + v) % Q, (u - v) % Q], axis=-2)
+    return x.reshape(*batch, n).astype(np.int64)
+
+
+def intt(coeffs: np.ndarray) -> np.ndarray:
+    """Inverse negacyclic NTT (Gentleman-Sande), mod q. Shape (..., n).
+
+    Clear-side only: the reference circuits contain no inverse NTT (the dead
+    `inv_ntt_param_var` at `/root/reference/falcon-r1cs/src/gadgets/misc.rs:80`
+    notwithstanding).  Needed by our instance generator and verifier.
+    """
+    x = np.asarray(coeffs, dtype=np.int64) % Q
+    n = x.shape[-1]
+    p = get_params(n)
+    table = np.asarray(p.inv_ntt_table, dtype=np.int64)
+    batch = x.shape[:-1]
+    for l in range(p.log_n - 1, -1, -1):
+        m = 1 << l
+        half = n >> (l + 1)
+        x = x.reshape(*batch, m, 2, half)
+        s = table[m : 2 * m].reshape(*(1,) * len(batch), m, 1)
+        u = x[..., 0, :]
+        v = x[..., 1, :]
+        x = np.stack([(u + v) % Q, (u - v) * s % Q], axis=-2)
+    x = x.reshape(*batch, n)
+    n_inv = pow(n, Q - 2, Q)
+    return x * n_inv % Q
+
+
+def ntt_jax(coeffs, n: int):
+    """Batched forward NTT in JAX (int32 lanes), jit/vmap-friendly.
+
+    Shape (..., n) -> (..., n), values in [0, q).  All intermediates are
+    reduced mod q per stage so everything fits in int32 (q^2 < 2^28).
+    """
+    import jax.numpy as jnp
+
+    p = get_params(n)
+    table = jnp.asarray(p.ntt_table, dtype=jnp.int32)
+    x = coeffs.astype(jnp.int32) % Q
+    batch = x.shape[:-1]
+    for l in range(p.log_n):
+        m = 1 << l
+        half = n >> (l + 1)
+        x = x.reshape(*batch, m, 2, half)
+        s = table[m : 2 * m].reshape(*(1,) * len(batch), m, 1)
+        u = x[..., 0, :]
+        v = x[..., 1, :] * s % Q
+        x = jnp.stack([(u + v) % Q, (u - v) % Q], axis=-2)
+    return x.reshape(*batch, n)
+
+
+def negacyclic_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """c = a * b mod (x^n + 1, q) via NTT. Shapes broadcast over (..., n)."""
+    n = a.shape[-1]
+    return intt(ntt(a) * ntt(b) % Q)
