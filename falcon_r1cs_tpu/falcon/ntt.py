@@ -88,6 +88,27 @@ def ntt_jax(coeffs, n: int):
     return x.reshape(*batch, n)
 
 
+def intt_jax(coeffs, n: int):
+    """Batched inverse NTT in JAX (int32 lanes), jit/vmap-friendly."""
+    import jax.numpy as jnp
+
+    p = get_params(n)
+    table = jnp.asarray(p.inv_ntt_table, dtype=jnp.int32)
+    x = coeffs.astype(jnp.int32) % Q
+    batch = x.shape[:-1]
+    for l in range(p.log_n - 1, -1, -1):
+        m = 1 << l
+        half = n >> (l + 1)
+        x = x.reshape(*batch, m, 2, half)
+        s = table[m : 2 * m].reshape(*(1,) * len(batch), m, 1)
+        u = x[..., 0, :]
+        v = x[..., 1, :]
+        x = jnp.stack([(u + v) % Q, (u - v) * s % Q], axis=-2)
+    x = x.reshape(*batch, n)
+    n_inv = pow(n, Q - 2, Q)
+    return x * n_inv % Q
+
+
 def negacyclic_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """c = a * b mod (x^n + 1, q) via NTT. Shapes broadcast over (..., n)."""
     n = a.shape[-1]

@@ -1,0 +1,19 @@
+"""Batched witness engine: execute-phase twin of the trace layer."""
+
+from .engine import WitnessBatch, generate_witness_ntt, jitted_engine
+from .layout import (
+    bound_width,
+    export_witness_limbs,
+    interleave_witness,
+    num_witness,
+)
+
+__all__ = [
+    "WitnessBatch",
+    "bound_width",
+    "export_witness_limbs",
+    "generate_witness_ntt",
+    "interleave_witness",
+    "jitted_engine",
+    "num_witness",
+]

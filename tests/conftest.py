@@ -6,12 +6,18 @@ test multi-device JAX code without a pod; SURVEY.md section 4 item 6).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize registers the TPU plugin and pins
+# jax_platforms=axon before conftest runs; override back to hermetic CPU.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
