@@ -1,0 +1,179 @@
+"""Device satisfiability checking: (A.w) o (B.w) - C.w == 0 as tensor ops.
+
+The TPU-native replacement for arkworks' `cs.is_satisfied()` (SURVEY.md
+section 7 step 3) and itself a benchmark kernel.
+
+Design: 255-bit field arithmetic is hostile to int32 TPU lanes, but every
+constraint row of these circuits except the tagged `field_rows` holds
+EXACTLY over the signed integers (see r1cs/coo.py), with
+|A.w| * |B.w| provably below 2^330 (conservative bound: <= nnz_row *
+2^146(coeff) * 2^164(witness)).  So satisfiability is checked by CRT:
+
+    for enough 15-bit primes m_k that prod m_k > 2^331:
+        (A.w)(B.w) - C.w  ==  0  (mod m_k)      -- all in int32 lanes
+
+Products of 15-bit residues stay below 2^30; per-element mod after each
+product keeps segment sums below 2^25 * 2^15.  The tagged field rows (the
+is_eq multiplier rows, O(n) of them with 2-term LCs) are checked in exact
+host arithmetic.
+
+Batched over signatures: the witness residue tensor is (P, B, W) int32,
+sharded over a ("batch",) mesh axis; each prime's sparse matvec is a
+gather + segment_sum, vectorized over B.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..r1cs.coo import CompiledR1CS
+
+# 15-bit primes, largest first; 24 of them give prod > 2^359 >> the 2^330
+# row bound, so the CRT check is exact, not probabilistic.
+_NUM_PRIMES = 24
+
+
+@functools.lru_cache(maxsize=None)
+def _crt_kernel(num_constraints: int, num_primes: int):
+    """jit-compiled CRT satisfiability kernel, shared across systems with the
+    same shape.  Tables are passed as runtime args (not baked constants) so
+    XLA does not constant-fold multi-MB gathers at compile time."""
+
+    @jax.jit
+    def run(w, tables):
+        primes = tables["primes"]
+        mask = tables["mask"]
+
+        def one_prime(k):
+            m = primes[k]
+
+            def matvec(rows, cols, vals):
+                # (B, nnz): residue products reduced before summing
+                prod = (vals[k][None, :] * w[k][:, cols]) % m
+                return jax.ops.segment_sum(
+                    prod.T, rows, num_segments=num_constraints
+                ).T % m  # (B, nc)
+
+            aw = matvec(*tables["a"])
+            bw = matvec(*tables["b"])
+            cw = matvec(*tables["c"])
+            bad = (aw * bw - cw) % m != 0
+            return jnp.any(bad & mask[None, :], axis=1)  # (B,)
+
+        fails = jax.vmap(one_prime)(jnp.arange(num_primes))
+        return ~jnp.any(fails, axis=0)
+
+    return run
+
+
+@functools.lru_cache(maxsize=1)
+def crt_primes(count: int = _NUM_PRIMES) -> tuple[int, ...]:
+    primes = []
+    x = (1 << 15) - 1
+    while len(primes) < count and x > 2:
+        for d in range(2, int(x**0.5) + 1):
+            if x % d == 0:
+                break
+        else:
+            primes.append(x)
+        x -= 2
+    return tuple(primes)
+
+
+class ResidueSystem:
+    """Host-precomputed residue form of a CompiledR1CS."""
+
+    def __init__(self, compiled: CompiledR1CS, primes=None):
+        self.compiled = compiled
+        self.primes = np.asarray(primes or crt_primes(), dtype=np.int32)
+        P = len(self.primes)
+
+        def residues(vals):
+            out = np.empty((P, len(vals)), dtype=np.int32)
+            for k, m in enumerate(self.primes):
+                m = int(m)
+                out[k] = np.asarray([int(v) % m for v in vals], dtype=np.int32)
+            return out
+
+        self.a_rows, self.a_cols, a_vals = compiled.a
+        self.b_rows, self.b_cols, b_vals = compiled.b
+        self.c_rows, self.c_cols, c_vals = compiled.c
+        self.a_res = residues(a_vals)
+        self.b_res = residues(b_vals)
+        self.c_res = residues(c_vals)
+        # mask excluding field rows from the integer check
+        mask = np.ones(compiled.num_constraints, dtype=bool)
+        mask[compiled.field_rows] = False
+        self.int_row_mask = mask
+
+    def witness_residues(self, assignments: np.ndarray) -> np.ndarray:
+        """(B, V) object ints -> (P, B, V) int32 residues.
+
+        Integer-path witnesses are < 2^164 nonnegative; field-sized values
+        (is_eq multipliers) are reduced mod p implicitly by % m of their
+        mod-p representative -- harmless, as field rows are excluded."""
+        P = len(self.primes)
+        B, V = assignments.shape
+        out = np.empty((P, B, V), dtype=np.int32)
+        for k, m in enumerate(self.primes):
+            m = int(m)
+            flat = [int(v) % m for v in assignments.reshape(-1)]
+            out[k] = np.asarray(flat, dtype=np.int32).reshape(B, V)
+        return out
+
+    @functools.cached_property
+    def _device_tables(self):
+        return dict(
+            primes=jnp.asarray(self.primes),
+            mask=jnp.asarray(self.int_row_mask),
+            a=(jnp.asarray(self.a_rows), jnp.asarray(self.a_cols),
+               jnp.asarray(self.a_res)),
+            b=(jnp.asarray(self.b_rows), jnp.asarray(self.b_cols),
+               jnp.asarray(self.b_res)),
+            c=(jnp.asarray(self.c_rows), jnp.asarray(self.c_cols),
+               jnp.asarray(self.c_res)),
+        )
+
+    def check_device(self, w_res) -> np.ndarray:
+        """Run the CRT check on device.  w_res: (P, B, V) int32.
+        Returns (B,) bool: True = all integer rows satisfied."""
+        nc = self.compiled.num_constraints
+        run = _crt_kernel(nc, len(self.primes))
+        return np.asarray(run(jnp.asarray(w_res), self._device_tables))
+
+    def check_field_rows_host(self, assignment: list[int]) -> bool:
+        """Exact mod-p evaluation of the few tagged field rows."""
+        comp = self.compiled
+        p = comp.p
+        rows_needed = set(int(r) for r in comp.field_rows)
+        if not rows_needed:
+            return True
+
+        def row_vals(mat):
+            rows, cols, vals = mat
+            acc = {r: 0 for r in rows_needed}
+            for r, c, v in zip(rows, cols, vals):
+                r = int(r)
+                if r in acc:
+                    acc[r] += int(v) * assignment[c]
+            return acc
+
+        a = row_vals(comp.a)
+        b = row_vals(comp.b)
+        c = row_vals(comp.c)
+        return all(
+            (a[r] % p) * (b[r] % p) % p == c[r] % p for r in rows_needed
+        )
+
+    def is_satisfied(self, assignments: np.ndarray) -> np.ndarray:
+        """Full batched check: device CRT for integer rows + host field
+        rows.  assignments: (B, V) object ints.  Returns (B,) bool."""
+        ok = np.array(self.check_device(self.witness_residues(assignments)))
+        for b in range(assignments.shape[0]):
+            if ok[b] and len(self.compiled.field_rows):
+                ok[b] = self.check_field_rows_host(list(assignments[b]))
+        return ok

@@ -26,3 +26,7 @@ __all__ = [
     "var_instance",
     "var_witness",
 ]
+
+from .coo import CompiledR1CS, compile_circuit
+
+__all__ += ["CompiledR1CS", "compile_circuit"]

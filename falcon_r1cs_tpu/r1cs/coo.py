@@ -1,0 +1,133 @@
+"""Compiled R1CS artifacts: COO matrices, signed-integer views, caching.
+
+The trace phase is slow, host-side Python (like arkworks' setup-mode pass);
+its product -- sparse (A, B, C) + layout metadata -- is a compile artifact
+cached to disk keyed by circuit/parameter set (the checkpoint subsystem the
+reference lacks, SURVEY.md section 5 "Checkpoint/resume").
+
+Signed-value view: a coefficient c mod p is reinterpreted as the signed
+integer c - p when c > p/2.  Every constraint of these circuits EXCEPT the
+is_eq/is_neq multiplier rows (`ConstraintSystem.field_rows`) then holds
+exactly over the integers -- e.g. a mod_q row a - t*q = b balances exactly
+because the bound-tracking invariant keeps all values below 2^164 << p.
+This is what lets the device satisfiability checker run in small-residue
+CRT arithmetic (parallel/sat_check.py) instead of 255-bit field ops.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from ..params import FIELD_MODULUS
+from .system import ConstraintSystem
+
+
+def _signed(c: int, p: int) -> int:
+    return c - p if c > p // 2 else c
+
+
+@dataclass
+class CompiledR1CS:
+    """Frozen R1CS: COO triples with signed-integer values + metadata."""
+
+    num_instance: int
+    num_witness: int
+    num_constraints: int
+    field_rows: np.ndarray          # int32 sorted row indices (mod-p-only)
+    # per matrix: (rows int32, cols int32, vals object[signed python ints])
+    a: tuple
+    b: tuple
+    c: tuple
+    p: int = FIELD_MODULUS
+
+    @classmethod
+    def from_cs(cls, cs: ConstraintSystem) -> "CompiledR1CS":
+        mats = []
+        for rows in (cs.a_rows, cs.b_rows, cs.c_rows):
+            r, co, v = [], [], []
+            for i, lc in enumerate(rows):
+                for var, coeff in sorted(lc.items()):
+                    r.append(i)
+                    co.append(cs.global_col(var))
+                    v.append(_signed(coeff, cs.p))
+            mats.append(
+                (
+                    np.asarray(r, dtype=np.int32),
+                    np.asarray(co, dtype=np.int32),
+                    np.asarray(v, dtype=object),
+                )
+            )
+        return cls(
+            num_instance=cs.num_instance_variables,
+            num_witness=cs.num_witness_variables,
+            num_constraints=cs.num_constraints,
+            field_rows=np.asarray(sorted(cs.field_rows), dtype=np.int32),
+            a=mats[0],
+            b=mats[1],
+            c=mats[2],
+            p=cs.p,
+        )
+
+    @property
+    def num_variables(self) -> int:
+        return self.num_instance + self.num_witness
+
+    def nnz(self) -> tuple[int, int, int]:
+        return (len(self.a[0]), len(self.b[0]), len(self.c[0]))
+
+    # -- exact host evaluation (reference oracle) --------------------------
+    def eval_row(self, mat, i_mask, assignment) -> list:
+        rows, cols, vals = mat
+        out = [0] * self.num_constraints
+        for r, c, v in zip(rows, cols, vals):
+            out[r] += int(v) * assignment[c]
+        return out
+
+    def is_satisfied_host(self, assignment: list[int]) -> bool:
+        """Exact mod-p check on host (the test oracle)."""
+        a = self.eval_row(self.a, None, assignment)
+        b = self.eval_row(self.b, None, assignment)
+        c = self.eval_row(self.c, None, assignment)
+        p = self.p
+        return all(
+            (ai % p) * (bi % p) % p == ci % p for ai, bi, ci in zip(a, b, c)
+        )
+
+    # -- disk cache --------------------------------------------------------
+    def save(self, path: str | Path) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "CompiledR1CS":
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if not isinstance(obj, cls):
+            raise TypeError(f"{path} is not a CompiledR1CS artifact")
+        return obj
+
+
+_CACHE_DIR = Path.home() / ".cache" / "falcon_r1cs_tpu"
+
+
+def compile_circuit(circuit_cls, instance, cache: bool = True) -> CompiledR1CS:
+    """Trace a circuit and return (cached) compiled matrices.
+
+    Cache key: circuit class + parameter set (the matrices depend only on
+    the shape, mirroring setup-mode synthesis -- SURVEY.md section 3.2).
+    """
+    key = f"{circuit_cls.__name__}_{instance.params.n}.r1cs"
+    path = _CACHE_DIR / key
+    if cache and path.exists():
+        return CompiledR1CS.load(path)
+    cs = ConstraintSystem(mode="setup")
+    circuit_cls.build_circuit(instance).generate_constraints(cs)
+    compiled = CompiledR1CS.from_cs(cs)
+    if cache:
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        compiled.save(path)
+    return compiled

@@ -89,6 +89,11 @@ class ConstraintSystem:
         self.a_rows: list[dict] = []
         self.b_rows: list[dict] = []
         self.c_rows: list[dict] = []
+        # Rows whose satisfaction is inherently mod-p (field inverses in the
+        # witness: is_eq/is_neq/is_zero) rather than integer-exact.  The
+        # residue-CRT device checker (parallel/sat_check.py) excludes these
+        # and checks them in exact host arithmetic instead.
+        self.field_rows: set[int] = set()
 
     # -- counters (arkworks API parity) ------------------------------------
     @property

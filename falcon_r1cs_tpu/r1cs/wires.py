@@ -191,6 +191,7 @@ class FpVar:
         m = cs.new_witness_variable(mult_val)
         diff_lc = dict(self.as_lc())
         lc_add_into(diff_lc, other.as_lc(), cs.p, sign=-1)
+        cs.field_rows.add(cs.num_constraints)
         cs.enforce_constraint(dict(diff_lc), {m: 1}, is_not_equal.lc())
         cs.enforce_constraint(dict(diff_lc), is_not_equal.not_().lc(), {})
         return is_not_equal

@@ -1,0 +1,69 @@
+"""Device CRT satisfiability checker vs the exact host oracle."""
+
+import numpy as np
+import pytest
+
+from falcon_r1cs_tpu import (
+    ConstraintSystem,
+    FalconDualNTTVerificationCircuit,
+    FalconNTTVerificationCircuit,
+)
+from falcon_r1cs_tpu.parallel.sat_check import ResidueSystem, crt_primes
+from falcon_r1cs_tpu.r1cs.coo import CompiledR1CS
+
+
+def test_crt_primes_cover_bound():
+    primes = crt_primes()
+    prod = 1
+    for p in primes:
+        prod *= p
+    # conservative integer-row bound (sat_check.py docstring)
+    assert prod > 2**331
+    assert all(p < 2**15 for p in primes)
+
+
+def _compiled(inst, cls):
+    cs = ConstraintSystem()
+    cls.build_circuit(inst).generate_constraints(cs)
+    return cs, CompiledR1CS.from_cs(cs)
+
+
+def test_checker_matches_oracle_ntt(inst_512):
+    cs, comp = _compiled(inst_512, FalconNTTVerificationCircuit)
+    assert len(comp.field_rows) == 0  # flagship circuit is integer-exact
+    rs = ResidueSystem(comp)
+    assign = np.asarray([cs.full_assignment()], dtype=object)
+    assert rs.is_satisfied(assign)[0]
+    assert comp.is_satisfied_host(list(assign[0]))
+    # corrupt a few positions; the checker must catch each
+    for pos in (comp.num_instance, comp.num_instance + 5000, -1):
+        bad = np.array(assign)
+        bad[0, pos] = int(bad[0, pos]) + 1
+        assert not rs.is_satisfied(bad)[0]
+        assert not comp.is_satisfied_host(list(bad[0]))
+
+
+def test_checker_field_rows_dual(inst_512):
+    cs, comp = _compiled(inst_512, FalconDualNTTVerificationCircuit)
+    assert len(comp.field_rows) == 2  # the two is_zero multiplier rows
+    rs = ResidueSystem(comp)
+    assign = np.asarray([cs.full_assignment()], dtype=object)
+    assert rs.is_satisfied(assign)[0]
+    # corrupt a multiplier-adjacent witness (the is_zero bit): field-row path
+    bad = np.array(assign)
+    # flip the pos*neg accumulated product's first mul wire
+    bad[0, comp.num_instance + 2 * 512] = (
+        int(bad[0, comp.num_instance + 2 * 512]) + 1
+    )
+    assert not rs.is_satisfied(bad)[0]
+
+
+def test_compiled_roundtrip(tmp_path, inst_512):
+    cs, comp = _compiled(inst_512, FalconNTTVerificationCircuit)
+    path = tmp_path / "c.r1cs"
+    comp.save(path)
+    loaded = CompiledR1CS.load(path)
+    assert loaded.num_constraints == comp.num_constraints
+    assert loaded.nnz() == comp.nnz()
+    assert np.array_equal(loaded.a[0], comp.a[0])
+    assert list(loaded.a[2][:5]) == list(comp.a[2][:5])
