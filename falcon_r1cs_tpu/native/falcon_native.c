@@ -1,0 +1,168 @@
+/* Native host-side Falcon primitives: SHAKE256 + batched hash-to-point.
+ *
+ * TPU-native-framework equivalent of the reference's native substrate
+ * (falcon-rust wrapping the Falcon reference C, SURVEY.md section 2.3):
+ * hash-to-point is inherently sequential rejection sampling per message and
+ * lives on the host hot path of batched witness generation
+ * (SURVEY.md section 7 "hard parts" item 4).  This file implements
+ * Keccak-f[1600]/SHAKE256 from the FIPS 202 specification and the Falcon
+ * HashToPoint loop (SHAKE256(nonce || msg); squeeze 16-bit big-endian
+ * chunks t; accept t < 5*q; emit t mod q), batched with OpenMP when
+ * available.
+ *
+ * Built as a shared library via falcon_r1cs_tpu/native/__init__.py (ctypes;
+ * no pybind11 dependency).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define Q 12289
+#define ACCEPT_BOUND (5 * Q) /* 61445 */
+#define RATE 136             /* SHAKE256 rate in bytes */
+
+typedef struct {
+    uint64_t s[25];
+    unsigned pos; /* squeeze offset into the current rate block */
+} shake_ctx;
+
+static const uint64_t RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static inline uint64_t rotl64(uint64_t x, int n) {
+    return (x << n) | (x >> (64 - n));
+}
+
+static void keccak_f1600(uint64_t s[25]) {
+    /* rho rotation offsets and pi lane permutation, FIPS 202 */
+    static const int rho[24] = {1,  3,  6,  10, 15, 21, 28, 36,
+                                45, 55, 2,  14, 27, 41, 56, 8,
+                                25, 43, 62, 18, 39, 61, 20, 44};
+    static const int pi[24] = {10, 7,  11, 17, 18, 3,  5,  16,
+                               8,  21, 24, 4,  15, 23, 19, 13,
+                               12, 2,  20, 14, 22, 9,  6,  1};
+    uint64_t bc[5], t;
+    for (int round = 0; round < 24; round++) {
+        /* theta */
+        for (int i = 0; i < 5; i++)
+            bc[i] = s[i] ^ s[i + 5] ^ s[i + 10] ^ s[i + 15] ^ s[i + 20];
+        for (int i = 0; i < 5; i++) {
+            t = bc[(i + 4) % 5] ^ rotl64(bc[(i + 1) % 5], 1);
+            for (int j = 0; j < 25; j += 5) s[j + i] ^= t;
+        }
+        /* rho + pi */
+        t = s[1];
+        for (int i = 0; i < 24; i++) {
+            int j = pi[i];
+            bc[0] = s[j];
+            s[j] = rotl64(t, rho[i]);
+            t = bc[0];
+        }
+        /* chi */
+        for (int j = 0; j < 25; j += 5) {
+            for (int i = 0; i < 5; i++) bc[i] = s[j + i];
+            for (int i = 0; i < 5; i++)
+                s[j + i] = bc[i] ^ ((~bc[(i + 1) % 5]) & bc[(i + 2) % 5]);
+        }
+        /* iota */
+        s[0] ^= RC[round];
+    }
+}
+
+static void shake256_init_absorb(shake_ctx *c, const uint8_t *data1,
+                                 long len1, const uint8_t *data2, long len2) {
+    memset(c->s, 0, sizeof(c->s));
+    uint8_t block[RATE];
+    unsigned fill = 0;
+    const uint8_t *parts[2] = {data1, data2};
+    long lens[2] = {len1, len2};
+    for (int p = 0; p < 2; p++) {
+        const uint8_t *d = parts[p];
+        long len = lens[p];
+        while (len > 0) {
+            unsigned take = (unsigned)((len < (long)(RATE - fill))
+                                           ? len
+                                           : (long)(RATE - fill));
+            memcpy(block + fill, d, take);
+            fill += take;
+            d += take;
+            len -= take;
+            if (fill == RATE) {
+                for (int i = 0; i < RATE / 8; i++) {
+                    uint64_t w;
+                    memcpy(&w, block + 8 * i, 8);
+                    c->s[i] ^= w; /* little-endian host assumed (x86/ARM) */
+                }
+                keccak_f1600(c->s);
+                fill = 0;
+            }
+        }
+    }
+    /* pad: SHAKE domain 0x1F ... 0x80 */
+    memset(block + fill, 0, RATE - fill);
+    block[fill] ^= 0x1F;
+    block[RATE - 1] ^= 0x80;
+    for (int i = 0; i < RATE / 8; i++) {
+        uint64_t w;
+        memcpy(&w, block + 8 * i, 8);
+        c->s[i] ^= w;
+    }
+    keccak_f1600(c->s);
+    c->pos = 0;
+}
+
+static inline uint8_t shake_next_byte(shake_ctx *c) {
+    if (c->pos == RATE) {
+        keccak_f1600(c->s);
+        c->pos = 0;
+    }
+    uint8_t b = (uint8_t)(c->s[c->pos >> 3] >> (8 * (c->pos & 7)));
+    c->pos++;
+    return b;
+}
+
+/* One message: hash_to_point(msg, nonce) -> n coefficients in [0, q). */
+static void hash_to_point_one(const uint8_t *nonce, long nonce_len,
+                              const uint8_t *msg, long msg_len,
+                              int32_t *out, long n) {
+    shake_ctx c;
+    shake256_init_absorb(&c, nonce, nonce_len, msg, msg_len);
+    long filled = 0;
+    while (filled < n) {
+        unsigned hi = shake_next_byte(&c);
+        unsigned lo = shake_next_byte(&c);
+        unsigned t = (hi << 8) | lo;
+        if (t < ACCEPT_BOUND) out[filled++] = (int32_t)(t % Q);
+    }
+}
+
+/* Batched entry point.
+ * msgs: concatenated message bytes; msg_offsets: batch+1 offsets.
+ * nonces: batch * nonce_len bytes.  out: batch * n int32.
+ */
+void hash_to_point_batch(const uint8_t *msgs, const int64_t *msg_offsets,
+                         const uint8_t *nonces, long nonce_len, int32_t *out,
+                         long batch, long n) {
+#pragma omp parallel for schedule(dynamic)
+    for (long b = 0; b < batch; b++) {
+        hash_to_point_one(nonces + b * nonce_len, nonce_len,
+                          msgs + msg_offsets[b],
+                          msg_offsets[b + 1] - msg_offsets[b], out + b * n,
+                          n);
+    }
+}
+
+/* Raw SHAKE256 for tests: out_len bytes of SHAKE256(data). */
+void shake256(const uint8_t *data, long len, uint8_t *out, long out_len) {
+    shake_ctx c;
+    shake256_init_absorb(&c, data, len, data, 0);
+    for (long i = 0; i < out_len; i++) out[i] = shake_next_byte(&c);
+}
