@@ -17,3 +17,23 @@ __all__ = [
     "jitted_engine",
     "num_witness",
 ]
+
+from .engine_dual import (
+    generate_witness_dual,
+    interleave_witness_dual,
+    jitted_engine_dual,
+)
+from .engine_schoolbook import (
+    generate_witness_schoolbook,
+    interleave_witness_schoolbook,
+    jitted_engine_schoolbook,
+)
+
+__all__ += [
+    "generate_witness_dual",
+    "generate_witness_schoolbook",
+    "interleave_witness_dual",
+    "interleave_witness_schoolbook",
+    "jitted_engine_dual",
+    "jitted_engine_schoolbook",
+]

@@ -1,0 +1,167 @@
+"""Batched witness engine for the dual-NTT verification circuit.
+
+Witness layout (allocation order of FalconDualNTTVerificationCircuit, per
+signature; n = N):
+  sig_pos (n) | sig_neg (n)
+  sig orthogonality: n mul wires (pos_i*neg_i partial products) |
+      is_zero pair [is_neq bit, multiplier]
+  v_pos (n) | v_neg (n) | v orthogonality (n + 2)
+  sig_pos NTT mod_q (n, 29) | sig_neg NTT (n, 29)
+  v_pos NTT (n, 29) | v_neg NTT (n, 29)
+  pointwise (n, 60): [mul_L, t_L, b_L, 27] | [mul_R, t_R, b_R, 27]
+  norm squares (4n)
+  bound (50 | 52)
+
+The is_zero multiplier is 1 when the accumulated pos*neg product is zero
+(always, for disjoint-support duals) -- arkworks' equal-branch convention
+(PARITY_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..falcon.ntt import intt_jax, ntt_jax
+from ..ops.ntt_limb import ntt_with_hints
+from ..params import FalconParams, Q, get_params
+from .engine import (
+    _bits,
+    _bound_block_1024,
+    _bound_block_512,
+    _lt_q_chain,
+)
+
+_HALF = 6144
+
+
+def _dual_split(c):
+    """[0, q) coeffs -> (pos, neg) with disjoint support (poly.py centering)."""
+    pos = jnp.where(c < _HALF, c, 0)
+    neg = jnp.where(c < _HALF, 0, Q - c)
+    return pos, neg
+
+
+def _modq_tail(b):
+    bits = _bits(b, 14)
+    return jnp.concatenate([bits, _lt_q_chain(bits)], axis=-1)
+
+
+def generate_witness_dual(sig_signed, pk_ntt, hm_ntt, params: FalconParams):
+    """All witness values of FalconDualNTTVerificationCircuit for a batch.
+
+    sig_signed: (B, n) int32 SIGNED signature coefficients.
+    Returns a dict of segment tensors (see module docstring)."""
+    n = params.n
+    sig_signed = sig_signed.astype(jnp.int32)
+    pk_ntt = pk_ntt.astype(jnp.int32)
+    hm_ntt = hm_ntt.astype(jnp.int32)
+
+    sig_pos = jnp.where(sig_signed >= 0, sig_signed, 0)
+    sig_neg = jnp.where(sig_signed < 0, -sig_signed, 0)
+
+    # v = hm - sig*pk mod (q, x^n+1) via NTT domain
+    sig_lifted = sig_signed % Q
+    v = intt_jax(
+        (hm_ntt - ntt_jax(sig_lifted, n) * pk_ntt % Q) % Q, n
+    )
+    v_pos, v_neg = _dual_split(v)
+
+    # orthogonality mul wires: partial products pos_i * neg_i (all zero for
+    # disjoint support, but allocation order is the contract)
+    sig_orth = sig_pos * sig_neg          # (B, n)
+    v_orth = v_pos * v_neg
+
+    # four NTT circuits with hints
+    sp_t, sp_b = ntt_with_hints(sig_pos, params)
+    sn_t, sn_b = ntt_with_hints(sig_neg, params)
+    vp_t, vp_b = ntt_with_hints(v_pos, params)
+    vn_t, vn_b = ntt_with_hints(v_neg, params)
+
+    # pointwise: left = mod_q(hm + vn + sn*pk), right = mod_q(vp + sp*pk)
+    mul_l = sn_b * pk_ntt
+    tot_l = hm_ntt + vn_b + mul_l
+    t_l, b_l = tot_l // Q, tot_l % Q
+    mul_r = sp_b * pk_ntt
+    tot_r = vp_b + mul_r
+    t_r, b_r = tot_r // Q, tot_r % Q
+    pointwise = jnp.concatenate(
+        [
+            mul_l[..., None], t_l[..., None], b_l[..., None], _modq_tail(b_l),
+            mul_r[..., None], t_r[..., None], b_r[..., None], _modq_tail(b_r),
+        ],
+        axis=-1,
+    )
+
+    # norm: squares over v_pos || v_neg || sig_pos || sig_neg
+    coeffs = jnp.concatenate([v_pos, v_neg, sig_pos, sig_neg], axis=-1)
+    sq = coeffs * coeffs
+    sum_lo = jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1)
+    sum_hi = jnp.sum(sq >> 16, axis=-1)
+    norm_lo = jnp.bitwise_and(sum_lo, 0xFFFF)
+    norm_hi = sum_hi + (sum_lo >> 16)
+    bound = (
+        _bound_block_512(norm_lo, norm_hi)
+        if n == 512
+        else _bound_block_1024(norm_lo, norm_hi)
+    )
+
+    return {
+        "sig_pos": sig_pos, "sig_neg": sig_neg, "sig_orth": sig_orth,
+        "v_pos": v_pos, "v_neg": v_neg, "v_orth": v_orth,
+        "sp_t": sp_t, "sp_b": sp_b, "sp_tail": _modq_tail(sp_b),
+        "sn_t": sn_t, "sn_b": sn_b, "sn_tail": _modq_tail(sn_b),
+        "vp_t": vp_t, "vp_b": vp_b, "vp_tail": _modq_tail(vp_b),
+        "vn_t": vn_t, "vn_b": vn_b, "vn_tail": _modq_tail(vn_b),
+        "pointwise": pointwise, "norm_sq": sq, "bound": bound,
+        "pk_ntt": pk_ntt, "hm_ntt": hm_ntt,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_engine_dual(n: int):
+    params = get_params(n)
+    return jax.jit(
+        lambda sig, pk, hm: generate_witness_dual(sig, pk, hm, params)
+    )
+
+
+def interleave_witness_dual(seg: dict, params: FalconParams) -> np.ndarray:
+    """Assemble (B, num_witness) object array in allocation order."""
+    from ..ops.limbs import limbs_to_ints
+
+    n = params.n
+    o = lambda k: np.asarray(seg[k], dtype=object)
+    B = o("sig_pos").shape[0]
+
+    def orth_pair():
+        # is_zero: [is_neq bit (0 for valid), multiplier (=1 equal-branch)]
+        z = np.zeros((B, 1), dtype=object)
+        one = np.ones((B, 1), dtype=object)
+        return z, one
+
+    def modq_seg(tk, bk, tailk):
+        t_ints = limbs_to_ints(np.asarray(seg[tk]))
+        out = np.empty((B, n, 29), dtype=object)
+        out[:, :, 0] = t_ints
+        out[:, :, 1] = o(bk)
+        out[:, :, 2:] = o(tailk)
+        return out.reshape(B, -1)
+
+    z1, one1 = orth_pair()
+    z2, one2 = orth_pair()
+    parts = [
+        o("sig_pos"), o("sig_neg"), o("sig_orth"), z1, one1,
+        o("v_pos"), o("v_neg"), o("v_orth"), z2, one2,
+        modq_seg("sp_t", "sp_b", "sp_tail"),
+        modq_seg("sn_t", "sn_b", "sn_tail"),
+        modq_seg("vp_t", "vp_b", "vp_tail"),
+        modq_seg("vn_t", "vn_b", "vn_tail"),
+        o("pointwise").reshape(B, -1),
+        o("norm_sq"),
+        o("bound"),
+    ]
+    return np.concatenate(parts, axis=1)

@@ -1,0 +1,59 @@
+"""Bit-exact parity of the dual-NTT and schoolbook batched engines vs the
+host trace (the verify-with-NTT engine is covered in test_witness_engine)."""
+
+import numpy as np
+import pytest
+
+from falcon_r1cs_tpu import (
+    ConstraintSystem,
+    FalconDualNTTVerificationCircuit,
+    FalconSchoolBookVerificationCircuit,
+)
+from falcon_r1cs_tpu.falcon import make_instance, ntt
+from falcon_r1cs_tpu.params import FALCON_512, FALCON_1024
+from falcon_r1cs_tpu.witness.engine_dual import (
+    interleave_witness_dual,
+    jitted_engine_dual,
+)
+from falcon_r1cs_tpu.witness.engine_schoolbook import (
+    interleave_witness_schoolbook,
+    jitted_engine_schoolbook,
+)
+
+
+def _host_witness(inst, cls):
+    cs = ConstraintSystem()
+    cls.build_circuit(inst).generate_constraints(cs)
+    return cs.witness_values
+
+
+@pytest.mark.parametrize("params", [FALCON_512, FALCON_1024])
+def test_dual_engine_bit_exact(rng, params):
+    insts = [make_instance(rng, params) for _ in range(2)]
+    sig = np.stack([i.sig_signed for i in insts]).astype(np.int32)
+    pk_ntt = np.stack([ntt(i.h) for i in insts]).astype(np.int32)
+    hm_ntt = np.stack([ntt(i.hm) for i in insts]).astype(np.int32)
+    seg = {
+        k: np.asarray(v)
+        for k, v in jitted_engine_dual(params.n)(sig, pk_ntt, hm_ntt).items()
+    }
+    mat = interleave_witness_dual(seg, params)
+    for b, inst in enumerate(insts):
+        host = _host_witness(inst, FalconDualNTTVerificationCircuit)
+        assert [int(x) for x in mat[b]] == host
+
+
+@pytest.mark.parametrize("params", [FALCON_512])
+def test_schoolbook_engine_bit_exact(rng, params):
+    insts = [make_instance(rng, params) for _ in range(2)]
+    sig = np.stack([i.sig_lifted for i in insts]).astype(np.int32)
+    pk = np.stack([i.h for i in insts]).astype(np.int32)
+    hm = np.stack([i.hm for i in insts]).astype(np.int32)
+    seg = {
+        k: np.asarray(v)
+        for k, v in jitted_engine_schoolbook(params.n)(sig, pk, hm).items()
+    }
+    mat = interleave_witness_schoolbook(seg, params)
+    for b, inst in enumerate(insts):
+        host = _host_witness(inst, FalconSchoolBookVerificationCircuit)
+        assert [int(x) for x in mat[b]] == host
