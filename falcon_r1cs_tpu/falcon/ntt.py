@@ -68,14 +68,17 @@ def intt(coeffs: np.ndarray) -> np.ndarray:
 def ntt_jax(coeffs, n: int):
     """Batched forward NTT in JAX (int32 lanes), jit/vmap-friendly.
 
-    Shape (..., n) -> (..., n), values in [0, q).  All intermediates are
-    reduced mod q per stage so everything fits in int32 (q^2 < 2^28).
+    Shape (..., n) -> (..., n); inputs must already be in [0, q).  All
+    intermediates are reduced per stage with division-free mod-q ops
+    (ops/modq.py) so everything fits in int32.
     """
     import jax.numpy as jnp
 
+    from ..ops.modq import add_mod_q, mul_mod_q, sub_mod_q
+
     p = get_params(n)
     table = jnp.asarray(p.ntt_table, dtype=jnp.int32)
-    x = coeffs.astype(jnp.int32) % Q
+    x = coeffs.astype(jnp.int32)
     batch = x.shape[:-1]
     for l in range(p.log_n):
         m = 1 << l
@@ -83,18 +86,21 @@ def ntt_jax(coeffs, n: int):
         x = x.reshape(*batch, m, 2, half)
         s = table[m : 2 * m].reshape(*(1,) * len(batch), m, 1)
         u = x[..., 0, :]
-        v = x[..., 1, :] * s % Q
-        x = jnp.stack([(u + v) % Q, (u - v) % Q], axis=-2)
+        v = mul_mod_q(x[..., 1, :], s)
+        x = jnp.stack([add_mod_q(u, v), sub_mod_q(u, v)], axis=-2)
     return x.reshape(*batch, n)
 
 
 def intt_jax(coeffs, n: int):
-    """Batched inverse NTT in JAX (int32 lanes), jit/vmap-friendly."""
+    """Batched inverse NTT in JAX (int32 lanes), jit/vmap-friendly.
+    Inputs must already be in [0, q)."""
     import jax.numpy as jnp
+
+    from ..ops.modq import add_mod_q, mul_mod_q, sub_mod_q
 
     p = get_params(n)
     table = jnp.asarray(p.inv_ntt_table, dtype=jnp.int32)
-    x = coeffs.astype(jnp.int32) % Q
+    x = coeffs.astype(jnp.int32)
     batch = x.shape[:-1]
     for l in range(p.log_n - 1, -1, -1):
         m = 1 << l
@@ -103,10 +109,10 @@ def intt_jax(coeffs, n: int):
         s = table[m : 2 * m].reshape(*(1,) * len(batch), m, 1)
         u = x[..., 0, :]
         v = x[..., 1, :]
-        x = jnp.stack([(u + v) % Q, (u - v) * s % Q], axis=-2)
+        x = jnp.stack([add_mod_q(u, v), mul_mod_q(sub_mod_q(u, v), s)], axis=-2)
     x = x.reshape(*batch, n)
     n_inv = pow(n, Q - 2, Q)
-    return x * n_inv % Q
+    return mul_mod_q(x, jnp.int32(n_inv))
 
 
 def negacyclic_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:

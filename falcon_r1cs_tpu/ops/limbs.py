@@ -119,13 +119,15 @@ def divmod_q(x):
     numerator r*2^16 + limb < 2^30 fits int32; each quotient limb < 2^16.
     Returns t as (L, ...) normalized limbs and r as (...,) int32.
     """
+    from .modq import divmod_q as _divmod_q_fast
+
     L = x.shape[0]
     r = jnp.zeros_like(x[0])
     t = []
     for k in range(L - 1, -1, -1):
         cur = (r << LIMB_BITS) + x[k]
-        t.append(cur // Q)
-        r = cur % Q
+        tk, r = _divmod_q_fast(cur)
+        t.append(tk)
     t.reverse()
     return jnp.stack(t), r
 

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: the bound-tracked limb NTT, fused across all stages.
+
+The XLA path (ops/ntt_limb.py) materializes the (L, B, n) limb tensor in
+HBM between each of the log_n butterfly stages.  This kernel keeps a whole
+batch-block's limb state resident in VMEM scratch across ALL stages plus
+the final divmod, writing only the (t, b) outputs.
+
+Butterfly formulation (Mosaic-friendly -- no lane-splitting reshapes):
+at stage l with half = n >> (l+1), position j pairs with j +/- half inside
+its group.  Two lane-rolls per limb give both butterfly operands in place:
+
+    hi[j]  = x[j+half] if j is a "lo" slot else x[j]       (roll n-half)
+    u[j]   = x[j]      if j is a "lo" slot else x[j-half]  (roll +half)
+    v      = carry-normalize(hi * s[j])
+    out[j] = u + v                 (lo slots)
+             u + (bound_l - v)     (hi slots)
+
+The limb axis is traversed with fori_loops over VMEM scratch (carry chains
+as loop-carried values; Mosaic's scan lowering does not support extensive
+outputs and a fully unrolled jaxpr takes minutes to compile).  Stage
+constants live in SMEM; per-position twiddles and lo-slot masks are
+precomputed host tables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import FalconParams, Q, get_params
+from .limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs
+
+DEFAULT_BLOCK = 64  # batch rows per program (bounded by VMEM scratch)
+
+
+def _stage_tables(params: FalconParams):
+    """(log_n, n) per-position twiddles and lo-slot masks + bound limbs."""
+    n, log_n = params.n, params.log_n
+    table = np.asarray(params.ntt_table, dtype=np.int32)
+    tw = np.zeros((log_n, n), dtype=np.int32)
+    lo_mask = np.zeros((log_n, n), dtype=np.int32)
+    j = np.arange(n)
+    for l in range(log_n):
+        m = 1 << l
+        half = n >> (l + 1)
+        group = j // (2 * half)
+        tw[l] = table[m + group]
+        lo_mask[l] = (j % (2 * half) < half).astype(np.int32)
+    bounds = np.stack(
+        [int_to_limbs(c, NUM_LIMBS) for c in params.const_q_powers]
+    ).astype(np.int32)
+    return tw, lo_mask, bounds
+
+
+def _make_kernel(params: FalconParams):
+    n, log_n = params.n, params.log_n
+    L = NUM_LIMBS
+
+    def kernel(x_ref, tw_ref, lo_ref, bounds_ref, t_ref, b_ref, st_ref, v_ref):
+        zeros = jnp.zeros_like(x_ref[...])
+        st_ref[0] = x_ref[...]
+
+        def clear(k, _):
+            st_ref[k] = zeros
+            return 0
+
+        jax.lax.fori_loop(1, L, clear, 0)
+
+        for l in range(log_n):
+            half = n >> (l + 1)
+            s = tw_ref[l, :]
+            lo = (lo_ref[l, :] == 1)[None, :]
+
+            def pass_v(k, carry, _half=half, _s=s, _lo=lo):
+                sk = st_ref[k]
+                hik = jnp.where(_lo, pltpu.roll(sk, n - _half, 1), sk)
+                tot = hik * _s + carry
+                v_ref[k] = jnp.bitwise_and(tot, LIMB_MASK)
+                return jnp.right_shift(tot, LIMB_BITS)
+
+            jax.lax.fori_loop(0, L, pass_v, zeros)
+
+            def pass_out(k, carry, _l=l, _half=half, _lo=lo):
+                sk = st_ref[k]
+                uk = jnp.where(_lo, sk, pltpu.roll(sk, _half, 1))
+                ck = bounds_ref[_l + 1, k]
+                vk = v_ref[k]
+                tot = jnp.where(_lo, uk + vk, uk + (ck - vk)) + carry
+                st_ref[k] = jnp.bitwise_and(tot, LIMB_MASK)
+                return jnp.right_shift(tot, LIMB_BITS)
+
+            jax.lax.fori_loop(0, L, pass_out, zeros)
+
+        # divmod by q from the top limb
+        def div(kk, r):
+            k = L - 1 - kk
+            cur = (r << LIMB_BITS) + st_ref[k]
+            t_ref[k] = cur // Q
+            return cur % Q
+
+        r = jax.lax.fori_loop(0, L, div, zeros)
+        b_ref[...] = r
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n: int, block: int):
+    params = get_params(n)
+    tw, lo_mask, bounds = _stage_tables(params)
+    tw = jnp.asarray(tw)
+    lo_mask = jnp.asarray(lo_mask)
+    bounds_arr = jnp.asarray(bounds)
+    kernel = _make_kernel(params)
+
+    def run(x):
+        batch = x.shape[0]
+        grid = (batch // block,)
+        t, b = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (block, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (params.log_n, n), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (params.log_n, n), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (params.log_n + 1, NUM_LIMBS), lambda i: (0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (NUM_LIMBS, block, n),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (block, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NUM_LIMBS, batch, n), jnp.int32),
+                jax.ShapeDtypeStruct((batch, n), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NUM_LIMBS, block, n), jnp.int32),
+                pltpu.VMEM((NUM_LIMBS, block, n), jnp.int32),
+            ],
+        )(x, tw, lo_mask, bounds_arr)
+        return t, b
+
+    return run
+
+
+def ntt_with_hints_pallas(x, params: FalconParams, block: int = DEFAULT_BLOCK):
+    """Drop-in replacement for ops.ntt_limb.ntt_with_hints using the fused
+    Pallas kernel.  Batch is cut into the largest dividing block <= block."""
+    batch = x.shape[0]
+    blk = min(block, batch)
+    while batch % blk:
+        blk //= 2
+    return _build(params.n, blk)(x.astype(jnp.int32))

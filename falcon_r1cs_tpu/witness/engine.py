@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..falcon.ntt import intt_jax, ntt_jax
+from ..ops.modq import divmod_q as fast_divmod_q, mul_mod_q, sub_mod_q
 from ..ops.limbs import NUM_LIMBS
 from ..ops.ntt_limb import ntt_with_hints
 from ..params import FalconParams, Q, get_params
@@ -216,7 +217,7 @@ def generate_witness_ntt(sig, pk_ntt, hm_ntt, params: FalconParams):
 
     # v = hm - sig*pk mod (q, x^n+1), computed in NTT domain on device
     sig_ntt_clear = ntt_jax(sig, n)
-    v_ntt_clear = (hm_ntt - sig_ntt_clear * pk_ntt % Q) % Q
+    v_ntt_clear = sub_mod_q(hm_ntt, mul_mod_q(sig_ntt_clear, pk_ntt))
     v = intt_jax(v_ntt_clear, n)
 
     # range proof chains on v
@@ -234,8 +235,7 @@ def generate_witness_ntt(sig, pk_ntt, hm_ntt, params: FalconParams):
     # pointwise: hm = v_ntt + sig_ntt*pk_ntt mod q
     prod = sig_b * pk_ntt                     # < q^2 < 2^27
     tot = v_b + prod
-    t_pw = tot // Q
-    c_pw = tot % Q
+    t_pw, c_pw = fast_divmod_q(tot)
     pw_bits = _bits(c_pw, 14)
     pointwise = jnp.concatenate(
         [prod[..., None], t_pw[..., None], c_pw[..., None], pw_bits,

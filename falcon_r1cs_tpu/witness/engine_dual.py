@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..falcon.ntt import intt_jax, ntt_jax
+from ..ops.modq import divmod_q as fast_divmod_q, mul_mod_q, sub_mod_q
 from ..ops.ntt_limb import ntt_with_hints
 from ..params import FalconParams, Q, get_params
 from .engine import (
@@ -64,9 +65,9 @@ def generate_witness_dual(sig_signed, pk_ntt, hm_ntt, params: FalconParams):
     sig_neg = jnp.where(sig_signed < 0, -sig_signed, 0)
 
     # v = hm - sig*pk mod (q, x^n+1) via NTT domain
-    sig_lifted = sig_signed % Q
+    sig_lifted = jnp.where(sig_signed < 0, sig_signed + Q, sig_signed)
     v = intt_jax(
-        (hm_ntt - ntt_jax(sig_lifted, n) * pk_ntt % Q) % Q, n
+        sub_mod_q(hm_ntt, mul_mod_q(ntt_jax(sig_lifted, n), pk_ntt)), n
     )
     v_pos, v_neg = _dual_split(v)
 
@@ -83,11 +84,9 @@ def generate_witness_dual(sig_signed, pk_ntt, hm_ntt, params: FalconParams):
 
     # pointwise: left = mod_q(hm + vn + sn*pk), right = mod_q(vp + sp*pk)
     mul_l = sn_b * pk_ntt
-    tot_l = hm_ntt + vn_b + mul_l
-    t_l, b_l = tot_l // Q, tot_l % Q
+    t_l, b_l = fast_divmod_q(hm_ntt + vn_b + mul_l)
     mul_r = sp_b * pk_ntt
-    tot_r = vp_b + mul_r
-    t_r, b_r = tot_r // Q, tot_r % Q
+    t_r, b_r = fast_divmod_q(vp_b + mul_r)
     pointwise = jnp.concatenate(
         [
             mul_l[..., None], t_l[..., None], b_l[..., None], _modq_tail(b_l),

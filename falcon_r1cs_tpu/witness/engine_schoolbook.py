@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..falcon.ntt import intt_jax, ntt_jax
+from ..ops.modq import divmod_q as fast_divmod_q, mul_mod_q, sub_mod_q
 from ..params import FIELD_MODULUS, FalconParams, Q, get_params
 from .engine import _bits, _lt_q_chain, _norm_block, _bound_block_512, _bound_block_1024
 
@@ -47,7 +48,10 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
     hm = hm.astype(jnp.int32)
 
     # v = hm - sig*pk mod (q, x^n+1)
-    v = intt_jax((ntt_jax(hm, n) - ntt_jax(sig, n) * ntt_jax(pk, n) % Q) % Q, n)
+    v = intt_jax(
+        sub_mod_q(ntt_jax(hm, n), mul_mod_q(ntt_jax(sig, n), ntt_jax(pk, n))),
+        n,
+    )
 
     v_bits = _bits(v, 14)
     v_block = jnp.concatenate(
@@ -66,10 +70,9 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
     hi = jnp.sum(prods >> 16, axis=-1)                      # < n*2^12
     H = hi + (lo >> 16)
     L = jnp.bitwise_and(lo, 0xFFFF)
-    tq, r = H // Q, H % Q
-    cur = (r << 16) + L
-    t = (tq << 16) + cur // Q                                # quotient hint
-    c = cur % Q                                              # inner product mod q
+    tq, r = fast_divmod_q(H)
+    tl, c = fast_divmod_q((r << 16) + L)
+    t = (tq << 16) + tl                                      # quotient hint
 
     c_bits = _bits(c, 14)
     c_chain = _lt_q_chain(c_bits)
