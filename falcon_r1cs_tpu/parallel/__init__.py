@@ -12,3 +12,19 @@ __all__ = [
     "place_batch",
     "sharded_engine",
 ]
+
+from .distributed import (
+    global_mesh,
+    host_local_batch,
+    maybe_init_distributed,
+    scaling_sweep,
+)
+from .ntt_sharded import ntt_sharded
+
+__all__ += [
+    "global_mesh",
+    "host_local_batch",
+    "maybe_init_distributed",
+    "ntt_sharded",
+    "scaling_sweep",
+]

@@ -1,0 +1,73 @@
+"""Parallelism layer on the virtual 8-device CPU mesh: sharded NTT
+correctness, sharded engine parity, scaling harness, aux utils."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from falcon_r1cs_tpu.falcon import ntt
+from falcon_r1cs_tpu.params import FALCON_512, FALCON_1024, Q
+from falcon_r1cs_tpu.parallel.distributed import global_mesh, scaling_sweep
+from falcon_r1cs_tpu.parallel.mesh import make_mesh, place_batch, sharded_engine
+from falcon_r1cs_tpu.parallel.ntt_sharded import ntt_sharded
+from falcon_r1cs_tpu.utils.config import RuntimeConfig
+from falcon_r1cs_tpu.utils.counters import CounterLog
+from falcon_r1cs_tpu.r1cs import ConstraintSystem, FpVar
+from falcon_r1cs_tpu.gadgets import enforce_less_than_q
+from falcon_r1cs_tpu.witness import jitted_engine
+
+
+@pytest.mark.parametrize("d", [2, 8])
+@pytest.mark.parametrize("params", [FALCON_512, FALCON_1024])
+def test_ntt_sharded_matches_clear(rng, d, params):
+    mesh = Mesh(np.asarray(jax.devices()[:d]).reshape(d), ("coeff",))
+    f = ntt_sharded(mesh, params)
+    x = rng.integers(0, Q, size=(3, params.n)).astype(np.int32)
+    assert np.array_equal(np.asarray(f(x)), ntt(x))
+
+
+def test_sharded_engine_matches_single_device(rng):
+    n = 512
+    mesh = make_mesh(8, batch_axis=4)
+    batch = 8
+    sig = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    pk = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    hm = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    args = place_batch(mesh, sig, pk, hm)
+    out_sharded = sharded_engine(n, mesh)(*args)
+    out_local = jitted_engine(n)(sig, pk, hm)
+    for k in out_local:
+        assert np.array_equal(
+            np.asarray(out_sharded[k]), np.asarray(out_local[k])
+        ), k
+
+
+def test_scaling_sweep_runs():
+    pts = scaling_sweep(n=512, batch_per_device=4)
+    assert pts and pts[0].devices == 1
+    assert pts[-1].devices == len(jax.devices())
+
+
+def test_global_mesh_axes():
+    mesh = global_mesh(batch_axis=4)
+    assert mesh.shape == {"batch": 4, "coeff": 2}
+
+
+def test_counter_log():
+    cs = ConstraintSystem(validate=False)
+    log = CounterLog(cs)
+    a = FpVar.new_witness(cs, 5)
+    with log.section("range"):
+        enforce_less_than_q(cs, a)
+    assert log.sections[0].constraints == 29
+    assert log.sections[0].witness == 27
+    assert "range" in log.table()
+
+
+def test_runtime_config_env(monkeypatch):
+    monkeypatch.setenv("FALCON_TPU_DEFAULT_N", "512")
+    monkeypatch.setenv("FALCON_TPU_USE_PALLAS_NTT", "true")
+    cfg = RuntimeConfig.from_env()
+    assert cfg.default_n == 512
+    assert cfg.use_pallas_ntt is True
