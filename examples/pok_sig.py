@@ -33,9 +33,18 @@ def main():
     rng = np.random.default_rng(0)
     params = FALCON_512
 
-    # (pk, msg, sig) that verifies in the clear
-    inst = make_instance(rng, params, msg=b"testing message")
-    assert verify(inst.h, inst.msg, inst.nonce, inst.sig_signed, params)
+    # real keygen + deterministic signing (the reference's pok_sig flow:
+    # `pok_sig.rs:15-21`), then clear verification
+    from falcon_r1cs_tpu.falcon import KeyPair, instance_from_signature
+
+    t0 = time.time()
+    keypair = KeyPair.generate(rng, params)
+    msg = b"testing message"
+    sig = keypair.signer.sign_with_seed(b"test seed", msg)
+    assert keypair.verify(msg, sig)
+    print(f"keygen+sign+verify: {time.time()-t0:.2f}s "
+          f"(|s2|max={abs(sig.s2).max()})")
+    inst = instance_from_signature(keypair.h, msg, sig.nonce, sig.s2, params)
 
     # circuit-specific "setup": shape-only synthesis -> compiled COO
     t0 = time.time()

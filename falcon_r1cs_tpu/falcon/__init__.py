@@ -15,10 +15,13 @@ from .codec import (
 from .hash_to_point import NONCE_LEN, hash_to_point, hash_to_point_batch
 from .instances import (
     VerificationInstance,
+    instance_from_signature,
     make_instance,
     make_instance_batch,
     verify,
 )
+from .keygen import NTRUSolveError, SecretKey, keygen, ntru_solve
+from .sign import KeyPair, Signature, Signer
 from .ntt import intt, negacyclic_mul, ntt, ntt_jax
 from .poly import DualPolynomial, NTTPolynomial, Polynomial
 
@@ -33,12 +36,20 @@ __all__ = [
     "decode_public_key",
     "decompress_signature",
     "encode_public_key",
+    "KeyPair",
+    "NTRUSolveError",
+    "SecretKey",
+    "Signature",
+    "Signer",
     "hash_to_point",
     "hash_to_point_batch",
+    "instance_from_signature",
     "intt",
     "make_instance",
     "make_instance_batch",
+    "keygen",
     "negacyclic_mul",
+    "ntru_solve",
     "ntt",
     "ntt_jax",
     "verify",

@@ -131,6 +131,32 @@ def make_instance(
     return inst
 
 
+def instance_from_signature(
+    h: np.ndarray,
+    msg: bytes,
+    nonce: bytes,
+    sig_signed: np.ndarray,
+    params: FalconParams,
+) -> VerificationInstance:
+    """Build a VerificationInstance from a REAL (pk, msg, sig) triple (e.g.
+    produced by falcon.sign.KeyPair), mirroring the reference's circuit
+    test setup (`/root/reference/falcon-r1cs/src/circuits/falcon_ntt.rs:133-150`)."""
+    hm = hash_to_point(msg, nonce, params.n)
+    v = (hm - intt(ntt(sig_signed % Q) * ntt(h) % Q)) % Q
+    v_signed = np.where(v < _HALF, v, v - Q)
+    inst = VerificationInstance(
+        params=params,
+        h=np.asarray(h) % Q,
+        msg=msg,
+        nonce=nonce,
+        sig_signed=np.asarray(sig_signed),
+        hm=hm,
+        v_signed=v_signed,
+    )
+    assert verify(h, msg, nonce, sig_signed, params)
+    return inst
+
+
 def make_instance_batch(
     rng: np.random.Generator,
     params: FalconParams,
