@@ -4,10 +4,14 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 The driver-set target (BASELINE.json) is >= 10,000 witnesses/sec on a
 v5e-16; vs_baseline normalizes to the per-chip share of that target
 (625/s per chip) times the number of local devices, so vs_baseline > 1
-means we beat the target at this device count.
+means the target is beaten at this device count.
 
-Secondary numbers (reported as extra keys): constraint-synthesis
-throughput of the trace layer and the six golden counts' status.
+Throughput uses the slope of total time vs pipelined iteration count
+(utils/profiling.py): on tunneled/remote devices per-call wall clock is
+dominated by round-trip latency, which the slope cancels.
+
+Extra keys: dual/schoolbook engine rates, constraint-synthesis rate of the
+trace layer, native hash-to-point rate, and the golden-count check.
 """
 
 import json
@@ -22,49 +26,92 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def bench_witnesses(batch=1024, iters=10, warmup=2):
-    import jax
-
-    from falcon_r1cs_tpu.params import FALCON_1024, Q
-    from falcon_r1cs_tpu.witness.engine import jitted_engine
+def _inputs(batch, n, signed=False):
+    from falcon_r1cs_tpu.params import Q
 
     rng = np.random.default_rng(0)
-    n = 1024
-    sig = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
-    pk_ntt = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
-    hm_ntt = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
-
-    run = jitted_engine(n)
-    for _ in range(warmup):
-        jax.block_until_ready(run(sig, pk_ntt, hm_ntt))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(sig, pk_ntt, hm_ntt)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, len(jax.devices())
+    if signed:
+        sig = rng.integers(-1000, 1001, size=(batch, n)).astype(np.int32)
+    else:
+        sig = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    pk = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    hm = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
+    return sig, pk, hm
 
 
-def bench_constraint_synthesis():
-    """Constraints synthesized per second by the trace layer (Falcon-1024
-    verify-with-NTT, 162,870 constraints)."""
+def bench_witnesses(batch=1024, n=1024):
+    from falcon_r1cs_tpu.utils.profiling import throughput
+    from falcon_r1cs_tpu.witness.engine import jitted_engine
+
+    args = _inputs(batch, n)
+    rate, _ = throughput(jitted_engine(n), args, items_per_call=batch)
+    return rate
+
+
+def bench_dual(batch=512, n=1024):
+    from falcon_r1cs_tpu.utils.profiling import throughput
+    from falcon_r1cs_tpu.witness.engine_dual import jitted_engine_dual
+
+    args = _inputs(batch, n, signed=True)
+    rate, _ = throughput(jitted_engine_dual(n), args, items_per_call=batch)
+    return rate
+
+
+def bench_schoolbook(batch=64, n=1024):
+    from falcon_r1cs_tpu.utils.profiling import throughput
+    from falcon_r1cs_tpu.witness.engine_schoolbook import (
+        jitted_engine_schoolbook,
+    )
+
+    args = _inputs(batch, n)
+    rate, _ = throughput(
+        jitted_engine_schoolbook(n), args, items_per_call=batch
+    )
+    return rate
+
+
+def bench_constraint_synthesis(n=1024):
+    """Constraints synthesized per second by the trace layer
+    (Falcon-1024 verify-with-NTT, 162,870 constraints)."""
     from falcon_r1cs_tpu import ConstraintSystem, FalconNTTVerificationCircuit
     from falcon_r1cs_tpu.falcon import make_instance
-    from falcon_r1cs_tpu.params import FALCON_1024
+    from falcon_r1cs_tpu.params import get_params
 
     rng = np.random.default_rng(1)
-    inst = make_instance(rng, FALCON_1024)
+    inst = make_instance(rng, get_params(n))
     t0 = time.perf_counter()
     cs = ConstraintSystem()
     FalconNTTVerificationCircuit.build_circuit(inst).generate_constraints(cs)
     dt = time.perf_counter() - t0
-    assert cs.num_constraints == 162870
+    expected = {512: 81460, 1024: 162870}[n]
+    assert cs.num_constraints == expected
     return cs.num_constraints / dt
 
 
+def bench_hash_to_point(batch=2048, n=1024):
+    try:
+        from falcon_r1cs_tpu.native import native_hash_to_point_batch
+    except Exception:
+        return None
+    msgs = [b"benchmark message %d" % i for i in range(batch)]
+    nonces = [bytes(40) for _ in range(batch)]
+    native_hash_to_point_batch(msgs[:8], nonces[:8], n)  # warm build
+    t0 = time.perf_counter()
+    native_hash_to_point_batch(msgs, nonces, n)
+    return batch / (time.perf_counter() - t0)
+
+
 def main():
-    wps, n_dev = bench_witnesses()
-    cps = bench_constraint_synthesis()
+    import jax
+
+    # Device compiles through the remote tunnel can take minutes and are not
+    # persistently cached; time-box the secondary benches so the primary
+    # metric always lands within the driver's budget.
+    budget_s = float(os.environ.get("BENCH_BUDGET_SECS", "420"))
+    start = time.perf_counter()
+
+    n_dev = len(jax.devices())
+    wps = bench_witnesses()
     target_per_chip = 10000 / 16  # BASELINE.json: 10k/s on v5e-16
     result = {
         "metric": "witnesses_per_sec_falcon1024_verify_ntt",
@@ -72,8 +119,24 @@ def main():
         "unit": "witness/s",
         "vs_baseline": round(wps / (target_per_chip * n_dev), 3),
         "devices": n_dev,
-        "constraints_synthesized_per_sec": round(cps, 1),
     }
+
+    def remaining():
+        return budget_s - (time.perf_counter() - start)
+
+    secondary = [
+        ("constraints_synthesized_per_sec", bench_constraint_synthesis, 30),
+        ("hash_to_point_per_sec", lambda: bench_hash_to_point() or 0, 30),
+        ("dual_ntt_witnesses_per_sec", bench_dual, 180),
+        ("schoolbook_witnesses_per_sec", bench_schoolbook, 180),
+    ]
+    for key, fn, cost in secondary:
+        if remaining() < cost:
+            break
+        try:
+            result[key] = round(fn(), 1)
+        except Exception as e:  # never let a secondary kill the metric
+            result[key] = f"error: {type(e).__name__}"
     print(json.dumps(result))
 
 

@@ -52,12 +52,27 @@ def lc_scale(lc: dict, k: int, p: int) -> dict:
 
 
 def lc_add_into(acc: dict, lc: dict, p: int, sign: int = 1) -> None:
-    for v, c in lc.items():
-        nc = (acc.get(v, 0) + sign * c) % p
-        if nc:
-            acc[v] = nc
-        else:
-            acc.pop(v, None)
+    # coefficients are kept reduced in [0, p), so a single conditional
+    # subtract/add replaces the (much costlier) 256-bit % per merge
+    get = acc.get
+    if sign == 1:
+        for v, c in lc.items():
+            nc = get(v, 0) + c
+            if nc >= p:
+                nc -= p
+            if nc:
+                acc[v] = nc
+            else:
+                del acc[v]
+    else:
+        for v, c in lc.items():
+            nc = get(v, 0) - c
+            if nc < 0:
+                nc += p
+            if nc:
+                acc[v] = nc
+            else:
+                del acc[v]
 
 
 class SynthesisError(Exception):

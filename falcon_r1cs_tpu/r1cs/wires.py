@@ -107,8 +107,11 @@ class FpVar:
         cs = self.cs
         if self.is_constant and other.is_constant:
             return FpVar.constant(cs, self.const + other.const)
-        lc = dict(self.as_lc())
-        lc_add_into(lc, other.as_lc(), cs.p)
+        a, b = self.as_lc(), other.as_lc()
+        if len(a) < len(b):
+            a, b = b, a
+        lc = dict(a)
+        lc_add_into(lc, b, cs.p)
         sv, ov = self._val(), other._val()
         val = None if sv is None or ov is None else (sv + ov) % cs.p
         return FpVar(cs, lc=lc, value=val)
