@@ -92,19 +92,21 @@ class ResidueSystem:
         self.primes = np.asarray(primes or crt_primes(), dtype=np.int32)
         P = len(self.primes)
 
-        def residues(vals):
-            out = np.empty((P, len(vals)), dtype=np.int32)
+        def residues(which):
+            # cached limb form (persisted in the artifact), then vectorized
+            # per-prime mods
+            signs, limbs = compiled.vals_limbs(which)
+            out = np.empty((P, limbs.shape[0]), dtype=np.int32)
             for k, m in enumerate(self.primes):
-                m = int(m)
-                out[k] = np.asarray([int(v) % m for v in vals], dtype=np.int32)
+                out[k] = CompiledR1CS.limb_residues(signs, limbs, int(m))
             return out
 
-        self.a_rows, self.a_cols, a_vals = compiled.a
-        self.b_rows, self.b_cols, b_vals = compiled.b
-        self.c_rows, self.c_cols, c_vals = compiled.c
-        self.a_res = residues(a_vals)
-        self.b_res = residues(b_vals)
-        self.c_res = residues(c_vals)
+        self.a_rows, self.a_cols, _ = compiled.a
+        self.b_rows, self.b_cols, _ = compiled.b
+        self.c_rows, self.c_cols, _ = compiled.c
+        self.a_res = residues("a")
+        self.b_res = residues("b")
+        self.c_res = residues("c")
         # mask excluding field rows from the integer check
         mask = np.ones(compiled.num_constraints, dtype=bool)
         mask[compiled.field_rows] = False
@@ -118,11 +120,35 @@ class ResidueSystem:
         mod-p representative -- harmless, as field rows are excluded."""
         P = len(self.primes)
         B, V = assignments.shape
+        signs, limbs = CompiledR1CS.signed_to_limbs(assignments.reshape(-1))
+        out = np.empty((P, B, V), dtype=np.int32)
+        for k, m in enumerate(self.primes):
+            out[k] = (
+                CompiledR1CS.limb_residues(signs, limbs, int(m))
+                .reshape(B, V)
+                .astype(np.int32)
+            )
+        return out
+
+    def witness_residues_from_packed(
+        self, instance: np.ndarray, packed
+    ) -> np.ndarray:
+        """Residues from the DEVICE-PACKED witness (B, W, <=8 u32 limbs) +
+        (B, I) small instance values -- no Python big-int pass at all."""
+        P = len(self.primes)
+        packed = np.asarray(packed).astype(np.int64) & 0xFFFFFFFF
+        instance = np.asarray(instance, dtype=np.int64)
+        B, W, L = packed.shape
+        V = instance.shape[1] + W
         out = np.empty((P, B, V), dtype=np.int32)
         for k, m in enumerate(self.primes):
             m = int(m)
-            flat = [int(v) % m for v in assignments.reshape(-1)]
-            out[k] = np.asarray(flat, dtype=np.int32).reshape(B, V)
+            weights = np.array(
+                [pow(2, 32 * j, m) for j in range(L)], dtype=np.int64
+            )
+            wit = ((packed % m) @ weights) % m
+            out[k, :, : instance.shape[1]] = instance % m
+            out[k, :, instance.shape[1] :] = wit
         return out
 
     @functools.cached_property

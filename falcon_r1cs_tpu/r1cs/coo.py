@@ -76,6 +76,48 @@ class CompiledR1CS:
     def num_variables(self) -> int:
         return self.num_instance + self.num_witness
 
+    def vals_limbs(self, which: str):
+        """Cached limb form of a matrix's values ('a'|'b'|'c'); persisted
+        with the pickled artifact so the one-time Python big-int pass
+        amortizes across processes."""
+        cache = getattr(self, "_limb_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_limb_cache", cache)
+        if which not in cache:
+            cache[which] = self.signed_to_limbs(getattr(self, which)[2])
+        return cache[which]
+
+    @staticmethod
+    def signed_to_limbs(vals, num_limbs: int = 8):
+        """Object ints -> (signs int64, (nnz, num_limbs) int64 magnitude
+        limbs base 2^32).  One Python pass; residue computation against
+        many primes then vectorizes in numpy (see parallel/sat_check)."""
+        n = len(vals)
+        signs = np.empty(n, dtype=np.int64)
+        limbs = np.zeros((n, num_limbs), dtype=np.int64)
+        for i, v in enumerate(vals):
+            v = int(v)
+            signs[i] = -1 if v < 0 else 1
+            v = abs(v)
+            k = 0
+            while v:
+                limbs[i, k] = v & 0xFFFFFFFF
+                v >>= 32
+                k += 1
+        return signs, limbs
+
+    @staticmethod
+    def limb_residues(signs, limbs, m: int):
+        """(vals mod m) as int64 >= 0, vectorized: sum_k limb_k * (2^32k
+        mod m) stays below 2^51 for 15-bit primes."""
+        num_limbs = limbs.shape[1]
+        weights = np.array(
+            [pow(2, 32 * k, m) for k in range(num_limbs)], dtype=np.int64
+        )
+        acc = (limbs % m) @ weights % m
+        return (signs * acc) % m
+
     def nnz(self) -> tuple[int, int, int]:
         return (len(self.a[0]), len(self.b[0]), len(self.c[0]))
 
