@@ -30,3 +30,24 @@ def test_pallas_matches_xla(rng, interpret_mode, params):
     t_pl, b_pl = pn.ntt_with_hints_pallas(x, params, block=4)
     assert np.array_equal(np.asarray(t_ref), np.asarray(t_pl))
     assert np.array_equal(np.asarray(b_ref), np.asarray(b_pl))
+
+
+@pytest.mark.parametrize("params", [FALCON_512])
+def test_pallas_v3_matches_xla(rng, params):
+    """v3 (whole-tensor semi-carry) kernel, interpreter mode.  On the real
+    TPU the remote Mosaic compiler currently OOMs on this kernel; the XLA
+    path remains the production default (see module docstring)."""
+    import falcon_r1cs_tpu.ops.pallas_ntt_v3 as v3
+
+    orig = pl.pallas_call
+    pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+    v3._build.cache_clear()
+    try:
+        x = rng.integers(0, Q, size=(8, params.n)).astype(np.int32)
+        t_ref, b_ref = jax.jit(lambda x: ntt_with_hints(x, params))(x)
+        t_pl, b_pl = v3.ntt_with_hints_pallas_v3(x, params, block=4)
+        assert np.array_equal(np.asarray(t_ref), np.asarray(t_pl))
+        assert np.array_equal(np.asarray(b_ref), np.asarray(b_pl))
+    finally:
+        pl.pallas_call = orig
+        v3._build.cache_clear()
