@@ -58,6 +58,15 @@ def _load() -> ctypes.CDLL:
         ctypes.c_char_p,
         ctypes.c_long,
     ]
+    for fn in (lib.decode_pk_batch, lib.decode_sig_batch):
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long,
+            ctypes.c_long,
+        ]
+        fn.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -93,3 +102,38 @@ def native_hash_to_point_batch(msgs, nonces, n: int) -> np.ndarray:
         n,
     )
     return out.astype(np.int64)
+
+
+def native_decode_pk_batch(pk_bytes_list, n: int) -> np.ndarray:
+    """Batched public-key decode (bodies after the header byte) -> (B, n)
+    int32 coefficients.  Raises ValueError on any malformed key."""
+    lib = _load()
+    stride = len(pk_bytes_list[0]) - 1
+    bodies = b"".join(pkb[1:] for pkb in pk_bytes_list)
+    out = np.empty((len(pk_bytes_list), n), dtype=np.int32)
+    rc = lib.decode_pk_batch(
+        bodies, stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(pk_bytes_list), n,
+    )
+    if rc:
+        raise ValueError("malformed public key in batch")
+    return out
+
+
+def native_decode_sig_batch(sig_bytes_list, n: int, nonce_len: int = 40):
+    """Batched signature decode -> ((B, n) int32 signed coeffs, list of
+    nonces).  Raises ValueError on any malformed signature."""
+    lib = _load()
+    stride = len(sig_bytes_list[0]) - 1 - nonce_len
+    bodies = b"".join(s[1 + nonce_len:] for s in sig_bytes_list)
+    nonces = [s[1:1 + nonce_len] for s in sig_bytes_list]
+    out = np.empty((len(sig_bytes_list), n), dtype=np.int32)
+    rc = lib.decode_sig_batch(
+        bodies, stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(sig_bytes_list), n,
+    )
+    if rc:
+        raise ValueError("malformed signature in batch")
+    return out, nonces

@@ -166,3 +166,97 @@ void shake256(const uint8_t *data, long len, uint8_t *out, long out_len) {
     shake256_init_absorb(&c, data, len, data, 0);
     for (long i = 0; i < out_len; i++) out[i] = shake_next_byte(&c);
 }
+
+/* ------------------------------------------------------------------ */
+/* Wire codecs: 14-bit public-key packing and Golomb-Rice signature    */
+/* compression, batched (the data-loader hot path of the pipeline).   */
+/* Formats per falcon_r1cs_tpu/falcon/codec.py.                        */
+/* ------------------------------------------------------------------ */
+
+/* Decode one 14-bit-packed public key body (after the header byte).
+ * Returns 0 on success, -1 on out-of-range coefficient or bad padding. */
+int decode_pk_body(const uint8_t *body, long body_len, int32_t *out, long n) {
+    uint32_t acc = 0;
+    int acc_bits = 0;
+    long pos = 0;
+    for (long i = 0; i < n; i++) {
+        while (acc_bits < 14) {
+            if (pos >= body_len) return -1;
+            acc = (acc << 8) | body[pos++];
+            acc_bits += 8;
+        }
+        acc_bits -= 14;
+        uint32_t c = (acc >> acc_bits) & 0x3FFF;
+        if (c >= Q) return -1;
+        out[i] = (int32_t)c;
+    }
+    if (acc & ((1u << acc_bits) - 1)) return -1;
+    return 0;
+}
+
+/* Batched pk decode: bodies laid out contiguously, fixed stride. */
+int decode_pk_batch(const uint8_t *bodies, long stride, int32_t *out,
+                    long batch, long n) {
+    int rc = 0;
+#pragma omp parallel for schedule(static)
+    for (long b = 0; b < batch; b++) {
+        if (decode_pk_body(bodies + b * stride, stride, out + b * n, n))
+#pragma omp atomic write
+            rc = -1;
+    }
+    return rc;
+}
+
+/* Decode one compressed signature payload into signed coefficients.
+ * Returns 0 on success, -1 on malformed stream. */
+int decode_sig_body(const uint8_t *body, long body_len, int32_t *out,
+                    long n) {
+    long pos = 0;
+    int bits = 0;
+    uint32_t acc = 0;
+#define GETBIT(dst)                        \
+    do {                                   \
+        if (bits == 0) {                   \
+            if (pos >= body_len) return -1;\
+            acc = body[pos++];             \
+            bits = 8;                      \
+        }                                  \
+        bits--;                            \
+        (dst) = (acc >> bits) & 1;         \
+    } while (0)
+    for (long i = 0; i < n; i++) {
+        uint32_t sign, bit, mag = 0;
+        GETBIT(sign);
+        for (int k = 0; k < 7; k++) {
+            GETBIT(bit);
+            mag = (mag << 1) | bit;
+        }
+        uint32_t high = 0;
+        for (;;) {
+            GETBIT(bit);
+            if (bit) break;
+            if (++high > 16) return -1;
+        }
+        mag |= high << 7;
+        if (sign && mag == 0) return -1;
+        out[i] = sign ? -(int32_t)mag : (int32_t)mag;
+    }
+    /* remaining bits and bytes must be zero padding */
+    if (acc & ((1u << bits) - 1)) return -1;
+    for (; pos < body_len; pos++)
+        if (body[pos]) return -1;
+    return 0;
+#undef GETBIT
+}
+
+int decode_sig_batch(const uint8_t *bodies, long stride, int32_t *out,
+                     long batch, long n) {
+    int rc = 0;
+#pragma omp parallel for schedule(static)
+    for (long b = 0; b < batch; b++) {
+        if (decode_sig_body(bodies + b * stride, stride, out + b * n, n))
+#pragma omp atomic write
+            rc = -1;
+    }
+    return rc;
+}

@@ -70,18 +70,36 @@ class ProverInputPipeline:
         )
 
     def run_wire(self, pk_bytes_list, msgs, sig_bytes_list) -> ProverInputs:
-        """From raw wire bytes (the full falcon-aggregate-sig path)."""
-        sigs, nonces, hs = [], [], []
+        """From raw wire bytes (the full falcon-aggregate-sig path).
+
+        Uses the native C batch codecs (OpenMP) when available, falling
+        back to the pure-Python codec."""
+        hp, hs_ = self.params.header_pk, self.params.header_sig
         for pkb, sgb in zip(pk_bytes_list, sig_bytes_list):
-            h, p = decode_public_key(pkb)
-            if p is not self.params:
+            if not pkb or pkb[0] != hp or len(pkb) != self.params.pk_bytes:
                 raise ValueError("parameter-set mismatch in batch")
-            s2, nonce, p2 = decompress_signature(sgb)
-            if p2 is not self.params:
+            if not sgb or sgb[0] != hs_ or len(sgb) != self.params.sig_bytes:
                 raise ValueError("parameter-set mismatch in batch")
-            hs.append(h)
-            sigs.append(s2)
-            nonces.append(nonce)
+        try:
+            from .native import (
+                native_decode_pk_batch,
+                native_decode_sig_batch,
+            )
+
+            hs = native_decode_pk_batch(list(pk_bytes_list), self.params.n)
+            sigs, nonces = native_decode_sig_batch(
+                list(sig_bytes_list), self.params.n
+            )
+        except (ImportError, OSError):
+            sigs, nonces, hs = [], [], []
+            for pkb, sgb in zip(pk_bytes_list, sig_bytes_list):
+                h, _ = decode_public_key(pkb)
+                s2, nonce, _ = decompress_signature(sgb)
+                hs.append(h)
+                sigs.append(s2)
+                nonces.append(nonce)
+            hs = np.stack(hs)
+            sigs = np.stack(sigs)
         return self.run_decoded(
-            np.stack(sigs), np.stack(hs), list(msgs), nonces
+            np.asarray(sigs), np.asarray(hs), list(msgs), nonces
         )
