@@ -67,3 +67,36 @@ def test_compiled_roundtrip(tmp_path, inst_512):
     assert loaded.nnz() == comp.nnz()
     assert np.array_equal(loaded.a[0], comp.a[0])
     assert list(loaded.a[2][:5]) == list(comp.a[2][:5])
+
+
+def test_export_roundtrip(tmp_path, inst_512):
+    """Standard-format (A, B, C, witness) export: numpy-native npz."""
+    from falcon_r1cs_tpu.params import FIELD_MODULUS
+    from falcon_r1cs_tpu.r1cs.export import (
+        export_r1cs,
+        export_witness,
+        load_r1cs_arrays,
+    )
+
+    cs, comp = _compiled(inst_512, FalconNTTVerificationCircuit)
+    path = export_r1cs(comp, tmp_path / "c512")
+    z = load_r1cs_arrays(path)
+    assert list(z["header"]) == [1025, 78386, 81460, 8]
+    # field modulus reconstructs
+    p = 0
+    for k in range(7, -1, -1):
+        p = (p << 32) + int(z["field_modulus_limbs"][k])
+    assert p == FIELD_MODULUS
+    # a random A value reconstructs mod p
+    i = 1234
+    v = 0
+    for k in range(7, -1, -1):
+        v = (v << 32) + int(z["a_vals"][i, k])
+    assert v == int(comp.a[2][i]) % FIELD_MODULUS
+    assert len(z["a_rows"]) == len(comp.a[0])
+
+    wit = np.zeros((1, 4, 8), dtype=np.uint32)
+    path2 = export_witness(np.zeros((1, 2, 8), dtype=np.uint32), wit,
+                           tmp_path / "w512")
+    loaded = np.load(path2)
+    assert loaded["witness"].shape == (1, 4, 8)
