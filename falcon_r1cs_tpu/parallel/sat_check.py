@@ -171,6 +171,106 @@ class ResidueSystem:
         run = _crt_kernel(nc, len(self.primes))
         return np.asarray(run(jnp.asarray(w_res), self._device_tables))
 
+    def check_device_sharded(self, w_res, mesh, axis: str = "batch"):
+        """Row-range-sharded CRT check over a device mesh (SURVEY.md
+        section 2.4: COO sharded by constraint-row ranges).
+
+        The COO triples are partitioned into D contiguous nnz ranges
+        (padded to equal length with no-op entries pointing at a dummy
+        row); each device evaluates its own rows' residual for every prime
+        and the verdicts are AND-reduced.  The witness residues are
+        replicated (they are small compared to the matrices).
+        Returns (B,) bool.
+        """
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        D = mesh.shape[axis]
+        nc = self.compiled.num_constraints
+        nc_pad = nc + 1  # last row = padding sink, always satisfied
+
+        # common ROW boundaries for A, B, C (a row's entries must land on
+        # one device so its residual is complete), balanced by A-nnz
+        bounds = [0]
+        for d in range(1, D):
+            bounds.append(
+                int(
+                    np.searchsorted(
+                        self.a_rows, self.a_rows[len(self.a_rows) * d // D]
+                    )
+                )
+            )
+        row_bounds = [int(self.a_rows[b]) if b < len(self.a_rows) else nc
+                      for b in bounds] + [nc]
+
+        def shard_coo(rows, cols, res):
+            splits = [
+                np.nonzero(
+                    (rows >= row_bounds[d]) & (rows < row_bounds[d + 1])
+                )[0]
+                for d in range(D)
+            ]
+            max_len = max(max(len(s) for s in splits), 1)
+            r_out = np.full((D, max_len), nc, dtype=np.int32)  # pad row
+            c_out = np.zeros((D, max_len), dtype=np.int32)
+            v_out = np.zeros((D, len(self.primes), max_len), dtype=np.int32)
+            for d, s in enumerate(splits):
+                r_out[d, : len(s)] = rows[s]
+                c_out[d, : len(s)] = cols[s]
+                v_out[d, :, : len(s)] = res[:, s]
+            return r_out, c_out, v_out
+
+        a_sh = shard_coo(self.a_rows, self.a_cols, self.a_res)
+        b_sh = shard_coo(self.b_rows, self.b_cols, self.b_res)
+        c_sh = shard_coo(self.c_rows, self.c_cols, self.c_res)
+        primes = jnp.asarray(self.primes)
+        mask = jnp.asarray(
+            np.concatenate([self.int_row_mask, [False]])
+        )
+
+        def local(w, ar, ac, av, br, bc, bv, cr, cc, cv):
+            # shard_map gives each device its (1, ...) slice; drop it
+            ar, ac, av = ar[0], ac[0], av[0]
+            br, bc, bv = br[0], bc[0], bv[0]
+            cr, cc, cv = cr[0], cc[0], cv[0]
+
+            def one_prime(k):
+                m = primes[k]
+
+                def matvec(rows, cols, vals):
+                    prod = (vals[k][None, :] * w[k][:, cols]) % m
+                    return jax.ops.segment_sum(
+                        prod.T, rows, num_segments=nc_pad
+                    ).T % m
+
+                aw = matvec(ar, ac, av)
+                bw = matvec(br, bc, bv)
+                cw = matvec(cr, cc, cv)
+                bad = (aw * bw - cw) % m != 0
+                return jnp.any(bad & mask[None, :], axis=1)
+
+            fails = jax.vmap(one_prime)(jnp.arange(len(self.primes)))
+            any_fail = jnp.any(fails, axis=0)          # (B,)
+            return jax.lax.pmax(any_fail.astype(jnp.int32), axis)
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(),  # witness residues replicated
+                P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis),
+                P(axis), P(axis), P(axis),
+            ),
+            out_specs=P(),
+        )
+        out = jax.jit(fn)(
+            jnp.asarray(w_res), *map(jnp.asarray, a_sh),
+            *map(jnp.asarray, b_sh), *map(jnp.asarray, c_sh)
+        )
+        return ~np.asarray(out).astype(bool)
+
     def check_field_rows_host(self, assignment: list[int]) -> bool:
         """Exact mod-p evaluation of the few tagged field rows."""
         comp = self.compiled

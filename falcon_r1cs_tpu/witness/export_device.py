@@ -68,6 +68,128 @@ def _limbs16_to_u32(t_limbs):
 
 
 @functools.lru_cache(maxsize=None)
+def packer_dual(n: int):
+    """Device packer for the dual-NTT circuit: (B, W, 5) int32.
+
+    Layout per engine_dual.py; the two is_zero pairs are constants on the
+    valid path (is_neq bit 0, multiplier 1)."""
+    params = get_params(n)
+    widths = [
+        ("sig_pos", n), ("sig_neg", n), ("sig_orth", n), ("orth1", 2),
+        ("v_pos", n), ("v_neg", n), ("v_orth", n), ("orth2", 2),
+        ("sp", 29 * n), ("sn", 29 * n), ("vp", 29 * n), ("vn", 29 * n),
+        ("pointwise", 60 * n), ("norm_sq", 4 * n),
+        ("bound", bound_width(params)),
+    ]
+    idx = {}
+    base = 0
+    for name, w in widths:
+        idx[name] = np.arange(base, base + w, dtype=np.int32)
+        base += w
+    W = base
+    for k in ("sp", "sn", "vp", "vn"):
+        blk = idx[k].reshape(n, 29)
+        idx[k + "_t"] = np.ascontiguousarray(blk[:, 0])
+        idx[k + "_b"] = np.ascontiguousarray(blk[:, 1])
+        idx[k + "_tail"] = np.ascontiguousarray(blk[:, 2:])
+    jidx = {k: jnp.asarray(v) for k, v in idx.items()}
+
+    @jax.jit
+    def pack(seg):
+        B = seg["sig_pos"].shape[0]
+        plane0 = jnp.zeros((B, W), jnp.int32)
+        for k in ("sig_pos", "sig_neg", "sig_orth", "v_pos", "v_neg",
+                  "v_orth"):
+            plane0 = plane0.at[:, jidx[k]].set(seg[k])
+        for orth in ("orth1", "orth2"):
+            pair = jnp.broadcast_to(
+                jnp.asarray([0, 1], jnp.int32), (B, 2)
+            )
+            plane0 = plane0.at[:, jidx[orth]].set(pair)
+        t32 = {}
+        for nm, tk, bk, tailk in (
+            ("sp", "sp_t", "sp_b", "sp_tail"),
+            ("sn", "sn_t", "sn_b", "sn_tail"),
+            ("vp", "vp_t", "vp_b", "vp_tail"),
+            ("vn", "vn_t", "vn_b", "vn_tail"),
+        ):
+            t32[nm] = _limbs16_to_u32(seg[tk])
+            plane0 = plane0.at[:, jidx[tk]].set(t32[nm][0])
+            plane0 = plane0.at[:, jidx[bk]].set(seg[bk])
+            plane0 = plane0.at[:, jidx[tailk].reshape(-1)].set(
+                seg[tailk].reshape(B, -1)
+            )
+        plane0 = plane0.at[:, jidx["pointwise"]].set(
+            seg["pointwise"].reshape(B, -1)
+        )
+        plane0 = plane0.at[:, jidx["norm_sq"]].set(seg["norm_sq"])
+        plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"])
+        planes = [plane0]
+        for k in range(1, NUM_U32):
+            pk = jnp.zeros((B, W), jnp.int32)
+            for nm in ("sp", "sn", "vp", "vn"):
+                pk = pk.at[:, jidx[nm + "_t"]].set(t32[nm][k])
+            planes.append(pk)
+        return jnp.stack(planes, axis=-1)
+
+    return pack
+
+
+@functools.lru_cache(maxsize=None)
+def packer_schoolbook(n: int):
+    """Device packer for the schoolbook circuit: (B, W, 8) int32 (the is_eq
+    multipliers are full ~255-bit field values, expanded on device from
+    their 3-value codes via a constant limb table)."""
+    from .engine_schoolbook import NEG_Q_INV_MOD_P, Q_INV_MOD_P
+
+    params = get_params(n)
+    widths = [
+        ("sig", n), ("v_block", 28 * n), ("main", n * (n + 34)),
+        ("norm", 36 * n), ("bound", bound_width(params)),
+    ]
+    idx = {}
+    base = 0
+    for name, w in widths:
+        idx[name] = np.arange(base, base + w, dtype=np.int32)
+        base += w
+    W = base
+    main_blk = idx["main"].reshape(n, n + 34)
+    m_slots = np.ascontiguousarray(main_blk[:, [n + 30, n + 32]])
+    jidx = {k: jnp.asarray(v) for k, v in idx.items()}
+    jm_slots = jnp.asarray(m_slots)
+
+    mult_table = np.zeros((3, 8), dtype=np.uint32)
+    for c, v in enumerate((1, Q_INV_MOD_P, NEG_Q_INV_MOD_P)):
+        for k in range(8):
+            mult_table[c, k] = v & 0xFFFFFFFF
+            v >>= 32
+    jmult = jnp.asarray(mult_table.view(np.int32))
+
+    @jax.jit
+    def pack(seg):
+        B = seg["sig"].shape[0]
+        codes = seg["main"][:, :, [n + 30, n + 32]]  # (B, n, 2)
+        plane0 = jnp.zeros((B, W), jnp.int32)
+        plane0 = plane0.at[:, jidx["sig"]].set(seg["sig"])
+        plane0 = plane0.at[:, jidx["v_block"]].set(
+            seg["v_block"].reshape(B, -1)
+        )
+        plane0 = plane0.at[:, jidx["main"]].set(seg["main"].reshape(B, -1))
+        plane0 = plane0.at[:, jidx["norm"]].set(seg["norm"].reshape(B, -1))
+        plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"])
+        planes = []
+        for k in range(8):
+            pk = plane0 if k == 0 else jnp.zeros((B, W), jnp.int32)
+            pk = pk.at[:, jm_slots.reshape(-1)].set(
+                jmult[codes, k].reshape(B, -1)
+            )
+            planes.append(pk)
+        return jnp.stack(planes, axis=-1)
+
+    return pack
+
+
+@functools.lru_cache(maxsize=None)
 def packer_ntt(n: int):
     """jit-compiled device packer: engine segment dict -> (B, W, 5) int32."""
     params = get_params(n)

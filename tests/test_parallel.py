@@ -71,3 +71,23 @@ def test_runtime_config_env(monkeypatch):
     cfg = RuntimeConfig.from_env()
     assert cfg.default_n == 512
     assert cfg.use_pallas_ntt is True
+
+
+def test_sharded_sat_check_matches_single(rng, inst_512):
+    from falcon_r1cs_tpu import FalconNTTVerificationCircuit
+    from falcon_r1cs_tpu.parallel.sat_check import ResidueSystem
+    from falcon_r1cs_tpu.r1cs.coo import CompiledR1CS
+
+    cs = ConstraintSystem()
+    FalconNTTVerificationCircuit.build_circuit(inst_512).generate_constraints(cs)
+    rs = ResidueSystem(CompiledR1CS.from_cs(cs))
+    assign = np.asarray([cs.full_assignment()], dtype=object)
+    wres = rs.witness_residues(assign)
+    mesh = make_mesh(8, batch_axis=8)
+    ok = rs.check_device_sharded(wres, mesh, axis="batch")
+    assert ok[0]
+    bad = np.array(assign)
+    bad[0, 5555] = int(bad[0, 5555]) + 1
+    assert not rs.check_device_sharded(
+        rs.witness_residues(bad), mesh, axis="batch"
+    )[0]

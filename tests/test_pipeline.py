@@ -48,3 +48,50 @@ def test_pipeline_rejects_mixed_params(rng):
     pipe = ProverInputPipeline(FALCON_1024, pack=False)
     with pytest.raises(ValueError):
         pipe.run_wire(pk_bytes, [inst.msg], sig_bytes)
+
+
+def test_dual_and_schoolbook_packers(rng):
+    """Device packers for the other two circuit families decode to the
+    host interleave exactly."""
+    import jax
+
+    from falcon_r1cs_tpu.falcon import ntt
+    from falcon_r1cs_tpu.witness import (
+        interleave_witness_dual,
+        interleave_witness_schoolbook,
+        jitted_engine_dual,
+        jitted_engine_schoolbook,
+    )
+    from falcon_r1cs_tpu.witness.export_device import (
+        packer_dual,
+        packer_schoolbook,
+    )
+
+    insts = [make_instance(rng, FALCON_512) for _ in range(2)]
+    pk = np.stack([i.h for i in insts]).astype(np.int32)
+    hm = np.stack([i.hm for i in insts]).astype(np.int32)
+    pk_ntt = np.stack([ntt(i.h) for i in insts]).astype(np.int32)
+    hm_ntt = np.stack([ntt(i.hm) for i in insts]).astype(np.int32)
+
+    def unpack(packed, L):
+        packed = np.asarray(packed).astype(np.int64) & 0xFFFFFFFF
+        vals = np.zeros(packed.shape[:2], dtype=object)
+        for k in range(L - 1, -1, -1):
+            vals = (vals << 32) + packed[:, :, k]
+        return vals
+
+    sig_s = np.stack([i.sig_signed for i in insts]).astype(np.int32)
+    seg = jitted_engine_dual(512)(sig_s, pk_ntt, hm_ntt)
+    got = unpack(packer_dual(512)(seg), 5)
+    want = interleave_witness_dual(
+        {k: np.asarray(v) for k, v in seg.items()}, FALCON_512
+    )
+    assert (got == want).all()
+
+    sig_l = np.stack([i.sig_lifted for i in insts]).astype(np.int32)
+    seg2 = jitted_engine_schoolbook(512)(sig_l, pk, hm)
+    got2 = unpack(packer_schoolbook(512)(seg2), 8)
+    want2 = interleave_witness_schoolbook(
+        {k: np.asarray(v) for k, v in seg2.items()}, FALCON_512
+    )
+    assert (got2 == want2).all()
