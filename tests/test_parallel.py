@@ -91,3 +91,23 @@ def test_sharded_sat_check_matches_single(rng, inst_512):
     assert not rs.check_device_sharded(
         rs.witness_residues(bad), mesh, axis="batch"
     )[0]
+
+
+def test_multihost_two_process_smoke():
+    """Real jax.distributed cluster: two local processes, gloo collectives,
+    8 global devices, per-host input shards assembled into global arrays,
+    one sharded witness-engine step (tools/multihost_smoke.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "tools" / "multihost_smoke.py"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    res = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        timeout=420,
+        env=env,
+    )
+    assert res.returncode == 0, res.stdout.decode()[-2000:]
+    assert b"multihost smoke: PASS" in res.stdout
