@@ -97,6 +97,7 @@ def test_multihost_two_process_smoke():
     """Real jax.distributed cluster: two local processes, gloo collectives,
     8 global devices, per-host input shards assembled into global arrays,
     one sharded witness-engine step (tools/multihost_smoke.py)."""
+    import os
     import subprocess
     import sys
     from pathlib import Path
