@@ -33,6 +33,21 @@ from .hash_to_point import NONCE_LEN, hash_to_point
 from .keygen import SecretKey
 
 
+def _sample_z(rng: np.random.Generator, center: float, sigma: float) -> float:
+    """Discrete Gaussian over Z with the given center and sigma (rejection
+    from a geometric proposal; exact up to float rounding, ample for
+    Klein sampling at Falcon's sigmas)."""
+    if sigma < 0.05:
+        return float(np.rint(center))
+    # sample by rejection around the center with a wide integer window
+    lo = int(np.floor(center - 10 * sigma))
+    hi = int(np.ceil(center + 10 * sigma))
+    xs = np.arange(lo, hi + 1, dtype=np.float64)
+    w = np.exp(-((xs - center) ** 2) / (2 * sigma * sigma))
+    w /= w.sum()
+    return float(rng.choice(xs, p=w))
+
+
 def _rot_matrix(p: list[int], n: int) -> np.ndarray:
     """Negacyclic rotation matrix: row i = coefficients of x^i * p."""
     out = np.zeros((n, n), dtype=np.float64)
@@ -69,30 +84,55 @@ class Signer:
         if np.any(np.abs(np.diag(self.r_mat)) < 1e-9):
             raise ValueError("degenerate basis")
 
-    def _nearest_plane(self, c: np.ndarray) -> np.ndarray:
-        """Babai nearest-plane: lattice vector v = z B closest-ish to c."""
+    def _nearest_plane(self, c: np.ndarray, rng=None, sigma: float = 0.0):
+        """Babai nearest-plane / Klein-GPV sampling over the QR'd basis.
+
+        With rng=None this is deterministic nearest-plane (round to the
+        closest hyperplane).  With an rng and sigma > 0 it becomes Klein's
+        randomized variant -- each coordinate is drawn from the discrete
+        Gaussian D_{Z, sigma/|b*_i|, c_i} instead of rounded -- which is
+        exactly the algorithm Falcon's ffSampling computes in O(n log n);
+        signatures are then distribution-correct GPV samples."""
         dim = c.shape[0]
         tq = c @ self.q_mat
         z = np.zeros(dim)
         rdiag = np.diag(self.r_mat)
         for i in range(dim - 1, -1, -1):
-            zi = np.rint(tq[i] / rdiag[i])
+            center = tq[i] / rdiag[i]
+            if rng is None or sigma <= 0.0:
+                zi = np.rint(center)
+            else:
+                zi = _sample_z(rng, center, sigma / abs(rdiag[i]))
             if zi:
                 z[i] = zi
                 tq -= zi * self.r_mat[:, i]
         return z @ self.basis
 
-    def sign(self, msg: bytes, nonce: bytes) -> Signature:
+    # Falcon's signing sigma: ~1.17 sqrt(q) * smoothing factor; using the
+    # spec's sigma ~= 165.7 (n=512) / 168.4 (n=1024) scale for Klein mode.
+    _SIGMA = {512: 165.736617183, 1024: 168.388571447}
+
+    def sign(
+        self, msg: bytes, nonce: bytes, rng: np.random.Generator | None = None
+    ) -> Signature:
+        """Sign hm(msg, nonce).  Deterministic nearest-plane by default;
+        pass an rng for randomized Klein-GPV sampling at the spec sigma
+        (distribution-matching ffSampling; retries on the rare norm-bound
+        exceedance like the reference signer)."""
         n = self.params.n
         hm = hash_to_point(msg, nonce, n)
         c = np.concatenate([hm.astype(np.float64), np.zeros(n)])
-        v = self._nearest_plane(c)
-        s = np.rint(c - v).astype(np.int64)
-        s1, s2 = s[:n], s[n:]
-        norm = int(np.sum(s1 * s1) + np.sum(s2 * s2))
-        if norm >= self.params.sig_l2_bound:
-            raise ValueError(f"signature norm {norm} exceeds bound")
-        return Signature(s2=s2, nonce=nonce)
+        sigma = self._SIGMA[n] if rng is not None else 0.0
+        for _ in range(8):
+            v = self._nearest_plane(c, rng=rng, sigma=sigma)
+            s = np.rint(c - v).astype(np.int64)
+            s1, s2 = s[:n], s[n:]
+            norm = int(np.sum(s1 * s1) + np.sum(s2 * s2))
+            if norm < self.params.sig_l2_bound:
+                return Signature(s2=s2, nonce=nonce)
+            if rng is None:
+                break  # deterministic: retrying cannot help
+        raise ValueError(f"signature norm {norm} exceeds bound")
 
     def sign_with_seed(self, seed: bytes, msg: bytes) -> Signature:
         """Deterministic signing (falcon-rust `sign_with_seed` parity,

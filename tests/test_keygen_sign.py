@@ -66,3 +66,21 @@ def test_real_signature_through_circuit(keypair):
     assert (cs.num_instance_variables, cs.num_witness_variables,
             cs.num_constraints) == (1025, 78386, 81460)
     assert cs.is_satisfied()
+
+
+def test_klein_randomized_signing(keypair):
+    """Randomized Klein-GPV mode: distribution-matching ffSampling.
+    Norms concentrate near 2n*sigma^2 (~28.1M for n=512), distinct draws
+    give distinct valid signatures."""
+    rng = np.random.default_rng(5)
+    sigs = [
+        keypair.signer.sign(b"m", bytes([i]) * 40, rng=rng) for i in range(3)
+    ]
+    for s in sigs:
+        assert keypair.verify(b"m", s)
+    norms = [int(np.sum(s.s2.astype(np.int64) ** 2)) for s in sigs]
+    # s2 carries about half the total norm; total stays under beta^2
+    assert all(5_000_000 < nm < 25_000_000 for nm in norms), norms
+    a = keypair.signer.sign(b"m", bytes(40), rng=np.random.default_rng(1))
+    b = keypair.signer.sign(b"m", bytes(40), rng=np.random.default_rng(2))
+    assert not np.array_equal(a.s2, b.s2)
