@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
-
 from ..falcon import VerificationInstance, hash_to_point, ntt
 from ..gadgets import (
     NTTPolyVar,
@@ -31,7 +29,7 @@ from ..gadgets import (
     l2_norm_var,
     ntt_param_var,
 )
-from ..params import FalconParams, Q
+from ..params import FalconParams
 from ..r1cs import ConstraintSystem, FpVar
 
 

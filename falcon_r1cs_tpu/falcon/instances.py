@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..params import FalconParams, Q, get_params
+from ..params import FalconParams, Q
 from .hash_to_point import NONCE_LEN, hash_to_point
 from .ntt import intt, ntt
 from .poly import _HALF

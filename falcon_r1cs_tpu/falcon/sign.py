@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..params import FalconParams, Q
+from ..params import FalconParams
 from .hash_to_point import NONCE_LEN, hash_to_point
 from .keygen import SecretKey
 

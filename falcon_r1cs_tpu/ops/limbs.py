@@ -24,8 +24,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..params import Q
-
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 NUM_LIMBS = 11  # 176 bits >= 164-bit bound

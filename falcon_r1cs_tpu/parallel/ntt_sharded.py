@@ -18,16 +18,14 @@ shard width is chosen so only log2(D) stages need communication
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.modq import add_mod_q, mul_mod_q, sub_mod_q
-from ..params import FalconParams, Q, get_params
+from ..params import FalconParams
 
 
 def ntt_sharded(mesh: Mesh, params: FalconParams, axis: str = "coeff"):

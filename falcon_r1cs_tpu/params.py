@@ -18,7 +18,7 @@ the sage-script ground truth is asserted in tests/test_params.py.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # The Falcon modulus q = 12289 = 3 * 2^12 + 1 = 2^13 + 2^12 + 1
 # (`/root/reference/falcon-r1cs/src/gadgets/range_proofs.rs:74`).

@@ -28,7 +28,7 @@ from .falcon import (
     hash_to_point_batch,
 )
 from .falcon.ntt import ntt_jax
-from .params import FalconParams, Q, get_params
+from .params import FalconParams, Q
 from .witness.engine import jitted_engine
 from .witness.export_device import packer_ntt
 

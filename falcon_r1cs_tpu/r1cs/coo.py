@@ -17,7 +17,7 @@ CRT arithmetic (parallel/sat_check.py) instead of 255-bit field ops.
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np

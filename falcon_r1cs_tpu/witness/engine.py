@@ -29,11 +29,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from ..falcon.ntt import intt_jax, ntt_jax
 from ..ops.modq import divmod_q as fast_divmod_q, mul_mod_q, sub_mod_q
-from ..ops.limbs import NUM_LIMBS
 from ..ops.ntt_limb import ntt_with_hints
 from ..params import FalconParams, Q, get_params
 

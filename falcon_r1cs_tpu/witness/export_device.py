@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..params import FalconParams, get_params
+from ..params import get_params
 from .layout import bound_width, num_witness
 
 NUM_U32 = 5
