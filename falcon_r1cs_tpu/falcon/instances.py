@@ -16,9 +16,10 @@ This module provides:
   instances: sample small (sig, v) Gaussian-like vectors, derive
   h := (hm - v) * sig^{-1} in the NTT domain.  The resulting tuple satisfies
   the exact verification statement, so the circuits cannot distinguish it
-  from a real Falcon signature; no secret key is needed.  (Real NTRU
-  keygen/sign for spec-level test vectors is planned as a follow-up; see
-  PARITY_NOTES.md.)
+  from a real Falcon signature; no secret key is needed -- the fast path
+  for bulk benchmarks.  Real NTRU keygen + signing live in keygen.py /
+  sign.py; `instance_from_signature` bridges real signatures into the
+  circuit layer.
 """
 
 from __future__ import annotations

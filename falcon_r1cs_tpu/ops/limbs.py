@@ -129,6 +129,3 @@ def divmod_q(x):
     t.reverse()
     return jnp.stack(t), r
 
-
-def limb_matmul_mod_q():  # pragma: no cover - placeholder for pallas kernel
-    raise NotImplementedError
