@@ -101,7 +101,38 @@ def bench_hash_to_point(batch=2048, n=1024):
     return batch / (time.perf_counter() - t0)
 
 
+def _tpu_alive(timeout_s: int = 150) -> bool:
+    """Probe the (tunneled) TPU in a subprocess: the axon relay sometimes
+    wedges so hard that even trivial ops hang forever, which would keep the
+    bench from emitting its JSON line at all."""
+    import subprocess
+    import sys
+
+    try:
+        res = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp;"
+                "jax.jit(lambda x: x * 2)(jnp.ones(8)).block_until_ready();"
+                "print('ok')",
+            ],
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return b"ok" in res.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    platform = "device"
+    if not _tpu_alive():
+        # fall back to CPU so the metric line still lands; flagged in output
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback(tpu-tunnel-unresponsive)"
     import jax
 
     # Device compiles through the remote tunnel can take minutes and are not
@@ -119,6 +150,7 @@ def main():
         "unit": "witness/s",
         "vs_baseline": round(wps / (target_per_chip * n_dev), 3),
         "devices": n_dev,
+        "platform": platform,
     }
 
     def remaining():

@@ -44,11 +44,29 @@ class ProverInputs:
 
 
 class ProverInputPipeline:
-    def __init__(self, params: FalconParams, pack: bool = True):
+    def __init__(
+        self,
+        params: FalconParams,
+        pack: bool = True,
+        max_chunk: int = 2048,
+    ):
+        """max_chunk bounds device memory: a Falcon-1024 signature's full
+        witness is ~700 KB of segments, so batches are processed in
+        sub-batches of at most `max_chunk` and re-stitched on host when a
+        larger batch is supplied."""
         self.params = params
         self.pack = pack
+        self.max_chunk = max_chunk
         self._engine = jitted_engine(params.n)
         self._packer = packer_ntt(params.n) if pack else None
+
+    def _run_chunk(self, sig, pk_ntt, hm_ntt) -> ProverInputs:
+        seg = self._engine(sig, pk_ntt, hm_ntt)
+        packed = self._packer(seg) if self._packer else None
+        return ProverInputs(
+            seg=seg, pk_ntt=seg["pk_ntt"], hm_ntt=seg["hm_ntt"],
+            packed=packed,
+        )
 
     def run_decoded(self, sig_signed, h, msgs, nonces) -> ProverInputs:
         """From decoded arrays: sig_signed (B, n) ints, h (B, n) in [0, q),
@@ -62,8 +80,29 @@ class ProverInputPipeline:
         hm_dev = jnp.asarray(hm, dtype=jnp.int32)
         pk_ntt = ntt_jax(h_dev, n)
         hm_ntt = ntt_jax(hm_dev, n)
-        seg = self._engine(sig, pk_ntt, hm_ntt)
-        packed = self._packer(seg) if self._packer else None
+        B = sig.shape[0]
+        if B <= self.max_chunk:
+            return self._run_chunk(sig, pk_ntt, hm_ntt)
+        outs = [
+            self._run_chunk(
+                sig[i : i + self.max_chunk],
+                pk_ntt[i : i + self.max_chunk],
+                hm_ntt[i : i + self.max_chunk],
+            )
+            for i in range(0, B, self.max_chunk)
+        ]
+        seg = {
+            k: np.concatenate(
+                [np.asarray(o.seg[k]) for o in outs],
+                axis=1 if k.endswith("_t") else 0,
+            )
+            for k in outs[0].seg
+        }
+        packed = (
+            np.concatenate([np.asarray(o.packed) for o in outs], axis=0)
+            if self.pack
+            else None
+        )
         return ProverInputs(
             seg=seg, pk_ntt=seg["pk_ntt"], hm_ntt=seg["hm_ntt"],
             packed=packed,

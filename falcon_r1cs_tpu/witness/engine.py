@@ -221,9 +221,19 @@ def generate_witness_ntt(sig, pk_ntt, hm_ntt, params: FalconParams):
     v_bits = _bits(v, 14)
     range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits)], axis=-1)
 
-    # the two in-circuit NTTs with big quotient hints
-    sig_t, sig_b = ntt_with_hints(sig, params)
-    v_t, v_b = ntt_with_hints(v, params)
+    # the two in-circuit NTTs with big quotient hints (the experimental
+    # Pallas kernel is selectable via FALCON_TPU_USE_PALLAS_NTT=1)
+    from ..utils.config import get_config
+
+    if get_config().use_pallas_ntt:
+        from ..ops.pallas_ntt import ntt_with_hints_pallas
+
+        cfg = get_config()
+        sig_t, sig_b = ntt_with_hints_pallas(sig, params, cfg.pallas_block)
+        v_t, v_b = ntt_with_hints_pallas(v, params, cfg.pallas_block)
+    else:
+        sig_t, sig_b = ntt_with_hints(sig, params)
+        v_t, v_b = ntt_with_hints(v, params)
     sig_bits, sig_chain = _modq_block(sig_t, sig_b)
     v_bits_n, v_chain = _modq_block(v_t, v_b)
     sig_tail = jnp.concatenate([sig_bits, sig_chain], axis=-1)

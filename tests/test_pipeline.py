@@ -95,3 +95,21 @@ def test_dual_and_schoolbook_packers(rng):
         {k: np.asarray(v) for k, v in seg2.items()}, FALCON_512
     )
     assert (got2 == want2).all()
+
+
+def test_pipeline_chunking_matches_single_pass(rng):
+    """Batches above max_chunk are processed in sub-batches and stitched;
+    results must match the single-pass path exactly."""
+    insts = [make_instance(rng, FALCON_512) for _ in range(5)]
+    pk_bytes = [encode_public_key(i.h, FALCON_512) for i in insts]
+    sig_bytes = [
+        compress_signature(i.sig_signed, i.nonce, FALCON_512) for i in insts
+    ]
+    msgs = [i.msg for i in insts]
+    big = ProverInputPipeline(FALCON_512, pack=True, max_chunk=2048)
+    small = ProverInputPipeline(FALCON_512, pack=True, max_chunk=2)
+    a = big.run_wire(pk_bytes, msgs, sig_bytes)
+    b = small.run_wire(pk_bytes, msgs, sig_bytes)
+    assert np.array_equal(np.asarray(a.packed), np.asarray(b.packed))
+    for k in a.seg:
+        assert np.array_equal(np.asarray(a.seg[k]), np.asarray(b.seg[k])), k
