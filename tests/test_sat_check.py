@@ -100,3 +100,51 @@ def test_export_roundtrip(tmp_path, inst_512):
                            tmp_path / "w512")
     loaded = np.load(path2)
     assert loaded["witness"].shape == (1, 4, 8)
+
+
+def test_checker_catches_random_corruptions(rng, inst_512):
+    """Soundness sweep: any single corrupted assignment entry must flip the
+    verdict (50 random positions, random deltas)."""
+    cs, comp = _compiled(inst_512, FalconNTTVerificationCircuit)
+    rs = ResidueSystem(comp)
+    assign = np.asarray([cs.full_assignment()], dtype=object)
+    assert rs.is_satisfied(assign)[0]
+    V = comp.num_variables
+    for _ in range(50):
+        pos = int(rng.integers(1, V))  # skip the one-wire
+        delta = int(rng.integers(1, 1 << 20))
+        bad = np.array(assign)
+        bad[0, pos] = (int(bad[0, pos]) + delta) % comp.p
+        assert not rs.is_satisfied(bad)[0], (pos, delta)
+
+
+def test_export_interop_plain_numpy(tmp_path, inst_512):
+    """An external consumer with ONLY numpy must be able to load the
+    artifact and verify a constraint row mod p."""
+    from falcon_r1cs_tpu.r1cs.export import export_r1cs
+
+    cs, comp = _compiled(inst_512, FalconNTTVerificationCircuit)
+    path = export_r1cs(comp, tmp_path / "x")
+
+    # --- pure-numpy consumer (no falcon_r1cs_tpu imports below) ---------
+    z = np.load(path)
+    num_inst, num_wit, nc, L = (int(v) for v in z["header"])
+
+    def limbs_to_int(limbs):
+        v = 0
+        for k in range(len(limbs) - 1, -1, -1):
+            v = (v << 32) + int(limbs[k])
+        return v
+
+    p = limbs_to_int(z["field_modulus_limbs"])
+    assignment = [v % p for v in cs.full_assignment()]  # from the prover
+
+    row = 12345  # a mod_q equality row
+    lhs = {}
+    for name in ("a", "b", "c"):
+        sel = z[f"{name}_rows"] == row
+        acc = 0
+        for col, limbs in zip(z[f"{name}_cols"][sel], z[f"{name}_vals"][sel]):
+            acc += limbs_to_int(limbs) * assignment[int(col)]
+        lhs[name] = acc % p
+    assert lhs["a"] * lhs["b"] % p == lhs["c"]
