@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 from falcon_r1cs_tpu import FalconNTTVerificationCircuit
-from falcon_r1cs_tpu.falcon import make_instance, ntt, verify
+from falcon_r1cs_tpu.falcon import ntt
 from falcon_r1cs_tpu.params import FALCON_512
 from falcon_r1cs_tpu.parallel.sat_check import ResidueSystem
 from falcon_r1cs_tpu.r1cs.coo import compile_circuit

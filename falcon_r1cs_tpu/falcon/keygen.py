@@ -150,7 +150,10 @@ def reduce_FG(f, g, F, G) -> tuple[list[int], list[int]]:
     with both operand pairs scaled to ~53-bit floats and D = SF - Sf.  The
     float quotient only steers the descent (~50 bits of size reduction per
     iteration); the integer updates preserve f G - g F = q exactly."""
-    while True:
+    max_iters = 512  # descent removes ~50 bits/iteration; far above any
+    # legitimate run, so hitting the cap means the float steering stalled
+    stalls = 0
+    for _ in range(max_iters):
         size_fg = max(
             53, _max_abs(f).bit_length(), _max_abs(g).bit_length()
         )
@@ -181,9 +184,21 @@ def reduce_FG(f, g, F, G) -> tuple[list[int], list[int]]:
         new_actual = max(
             _max_abs(new_F).bit_length(), _max_abs(new_G).bit_length()
         )
-        if new_actual >= actual_FG and delta == 0:
-            break  # converged: rounding can no longer shrink F, G
+        if new_actual >= actual_FG:
+            if delta == 0:
+                break  # converged: rounding can no longer shrink F, G
+            # equal bit-length at delta > 0 can still be progress in the
+            # low-order bits; only a sustained plateau means the float
+            # steering stalled -- then abort so keygen resamples rather
+            # than looping forever
+            stalls += 1
+            if stalls > 16:
+                raise NTRUSolveError("size reduction stalled")
+        else:
+            stalls = 0
         F, G = new_F, new_G
+    else:
+        raise NTRUSolveError("size reduction did not converge")
     return F, G
 
 

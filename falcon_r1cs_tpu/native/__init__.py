@@ -109,6 +109,8 @@ def native_decode_pk_batch(pk_bytes_list, n: int) -> np.ndarray:
     int32 coefficients.  Raises ValueError on any malformed key."""
     lib = _load()
     stride = len(pk_bytes_list[0]) - 1
+    if any(len(pkb) != stride + 1 for pkb in pk_bytes_list):
+        raise ValueError("mixed public-key lengths in batch")
     bodies = b"".join(pkb[1:] for pkb in pk_bytes_list)
     out = np.empty((len(pk_bytes_list), n), dtype=np.int32)
     rc = lib.decode_pk_batch(
@@ -126,6 +128,8 @@ def native_decode_sig_batch(sig_bytes_list, n: int, nonce_len: int = 40):
     nonces).  Raises ValueError on any malformed signature."""
     lib = _load()
     stride = len(sig_bytes_list[0]) - 1 - nonce_len
+    if any(len(s) != stride + 1 + nonce_len for s in sig_bytes_list):
+        raise ValueError("mixed signature lengths in batch")
     bodies = b"".join(s[1 + nonce_len:] for s in sig_bytes_list)
     nonces = [s[1:1 + nonce_len] for s in sig_bytes_list]
     out = np.empty((len(sig_bytes_list), n), dtype=np.int32)

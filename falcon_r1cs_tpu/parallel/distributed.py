@@ -24,18 +24,24 @@ from ..params import Q
 def maybe_init_distributed() -> bool:
     """Initialize jax.distributed from the standard env (JAX_COORDINATOR /
     TPU pod env) when running multi-process; no-op on a single host.
-    Returns True if distributed was initialized."""
-    if jax.process_count() > 1:
-        return True  # already initialized by the runtime
+    Returns True if a multi-process cluster is active.
+
+    The env check comes FIRST: jax.distributed.initialize must run before
+    any backend-initializing JAX call (jax.process_count / jax.devices),
+    so this function must not touch devices until initialization is
+    settled."""
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        except RuntimeError:
+            pass  # already initialized (e.g. by the launcher/runtime)
         return True
-    return False
+    return jax.process_count() > 1
 
 
 def global_mesh(batch_axis: int | None = None) -> Mesh:

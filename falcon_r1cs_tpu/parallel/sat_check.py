@@ -70,7 +70,7 @@ def _crt_kernel(num_constraints: int, num_primes: int):
     return run
 
 
-@functools.lru_cache(maxsize=1)
+@functools.lru_cache(maxsize=None)
 def crt_primes(count: int = _NUM_PRIMES) -> tuple[int, ...]:
     primes = []
     x = (1 << 15) - 1
@@ -89,7 +89,11 @@ class ResidueSystem:
 
     def __init__(self, compiled: CompiledR1CS, primes=None):
         self.compiled = compiled
-        self.primes = np.asarray(primes or crt_primes(), dtype=np.int32)
+        if primes is None:
+            from ..utils.config import get_config
+
+            primes = crt_primes(get_config().num_crt_primes)
+        self.primes = np.asarray(primes, dtype=np.int32)
         P = len(self.primes)
 
         def residues(which):
@@ -192,17 +196,19 @@ class ResidueSystem:
 
         # common ROW boundaries for A, B, C (a row's entries must land on
         # one device so its residual is complete), balanced by A-nnz
-        bounds = [0]
+        row_bounds = [0]
         for d in range(1, D):
-            bounds.append(
-                int(
-                    np.searchsorted(
-                        self.a_rows, self.a_rows[len(self.a_rows) * d // D]
-                    )
+            if len(self.a_rows):
+                row_bounds.append(
+                    int(self.a_rows[len(self.a_rows) * d // D])
                 )
-            )
-        row_bounds = [int(self.a_rows[b]) if b < len(self.a_rows) else nc
-                      for b in bounds] + [nc]
+            else:
+                row_bounds.append(nc * d // D)
+        row_bounds.append(nc)
+        # boundaries must be non-decreasing and start at row 0 so every
+        # constraint's A, B, AND C entries land on exactly one device
+        for d in range(1, len(row_bounds)):
+            row_bounds[d] = max(row_bounds[d], row_bounds[d - 1])
 
         def shard_coo(rows, cols, res):
             splits = [

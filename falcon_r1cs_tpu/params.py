@@ -135,8 +135,15 @@ FALCON_1024 = FalconParams(
 _BY_N = {512: FALCON_512, 1024: FALCON_1024}
 
 
-def get_params(n: int) -> FalconParams:
-    """Look up a parameter set by polynomial degree (512 or 1024)."""
+def get_params(n: int | None = None) -> FalconParams:
+    """Look up a parameter set by polynomial degree (512 or 1024).
+
+    n=None selects the runtime default (utils/config.RuntimeConfig.default_n
+    -- the analog of the reference's default cargo feature)."""
+    if n is None:
+        from .utils.config import get_config
+
+        n = get_config().default_n
     try:
         return _BY_N[n]
     except KeyError:

@@ -18,6 +18,7 @@ as a production data path.
 
 from __future__ import annotations
 
+import subprocess
 from dataclasses import dataclass
 
 import numpy as np
@@ -129,7 +130,7 @@ class ProverInputPipeline:
             sigs, nonces = native_decode_sig_batch(
                 list(sig_bytes_list), self.params.n
             )
-        except (ImportError, OSError):
+        except (ImportError, OSError, subprocess.CalledProcessError):
             sigs, nonces, hs = [], [], []
             for pkb, sgb in zip(pk_bytes_list, sig_bytes_list):
                 h, _ = decode_public_key(pkb)

@@ -153,7 +153,10 @@ class CompiledR1CS:
         return obj
 
 
-_CACHE_DIR = Path.home() / ".cache" / "falcon_r1cs_tpu"
+def cache_dir() -> Path:
+    from ..utils.config import get_config
+
+    return Path(get_config().artifact_cache)
 
 
 def compile_circuit(circuit_cls, instance, cache: bool = True) -> CompiledR1CS:
@@ -163,13 +166,17 @@ def compile_circuit(circuit_cls, instance, cache: bool = True) -> CompiledR1CS:
     the shape, mirroring setup-mode synthesis -- SURVEY.md section 3.2).
     """
     key = f"{circuit_cls.__name__}_{instance.params.n}.r1cs"
-    path = _CACHE_DIR / key
+    path = cache_dir() / key
     if cache and path.exists():
         return CompiledR1CS.load(path)
     cs = ConstraintSystem(mode="setup")
     circuit_cls.build_circuit(instance).generate_constraints(cs)
     compiled = CompiledR1CS.from_cs(cs)
     if cache:
-        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        # populate the limb caches BEFORE persisting so the one-time
+        # Python big-int pass really does amortize across processes
+        for which in ("a", "b", "c"):
+            compiled.vals_limbs(which)
+        cache_dir().mkdir(parents=True, exist_ok=True)
         compiled.save(path)
     return compiled

@@ -18,10 +18,17 @@ import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
-PORT = 47613
 
 
-def worker(proc_id: int, num_procs: int = 2) -> None:
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(proc_id: int, port: int, num_procs: int = 2) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
@@ -31,7 +38,7 @@ def worker(proc_id: int, num_procs: int = 2) -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_procs,
         process_id=proc_id,
     )
@@ -66,13 +73,15 @@ def worker(proc_id: int, num_procs: int = 2) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
     args = ap.parse_args()
     if args.worker is not None:
-        worker(args.worker)
+        worker(args.worker, args.port)
         return
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "--worker", str(i)],
+            [sys.executable, __file__, "--worker", str(i), "--port", str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
