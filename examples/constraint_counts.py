@@ -49,6 +49,26 @@ def count_circuit(cls, inst):
     return cs.counters()
 
 
+def section_breakdown(inst):
+    """Per-section counter demo (the aux-subsystem replacement for the
+    reference's commented-out println probes, SURVEY.md section 5)."""
+    from falcon_r1cs_tpu.utils.counters import CounterLog
+    from falcon_r1cs_tpu.gadgets import enforce_less_than_q
+    from falcon_r1cs_tpu.r1cs import FpVar
+
+    cs = ConstraintSystem()
+    log = CounterLog(cs)
+    params = inst.params
+    with log.section("constants"):
+        const_q_power_vars(cs, params)
+        ntt_param_var(cs, params)
+    with log.section("alloc sig"):
+        sig_var = PolyVar.alloc_vars(cs, inst.sig_lifted, "witness")
+    with log.section("range proofs (one coeff)"):
+        enforce_less_than_q(cs, sig_var.coeff()[0])
+    return log.table()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, choices=(512, 1024), default=None)
@@ -67,6 +87,8 @@ def main():
         ]
         for name, (i, w, c) in rows:
             print(f"{name:22s} {i:20} | {w:14} | {c:17} |")
+        print()
+        print(section_breakdown(inst))
         print()
 
 

@@ -21,7 +21,11 @@ from falcon_r1cs_tpu.gadgets import (
 )
 from falcon_r1cs_tpu.params import FALCON_512, FALCON_1024
 
-N_RANDOM = 200  # the reference uses 1000; trimmed for suite runtime
+import os
+
+# the reference uses 1000 random trials per gadget; default trimmed for
+# suite runtime, FALCON_TPU_TEST_TRIALS=1000 restores full density
+N_RANDOM = int(os.environ.get("FALCON_TPU_TEST_TRIALS", "200"))
 
 
 def check_mod_q(a, b, satisfied):
