@@ -19,8 +19,10 @@ class RuntimeConfig:
     # validate gadget inputs at trace time (the runtime analog of the
     # reference's #[cfg(not(test))] panic guards)
     validate: bool = True
-    # witness engine: pallas kernel for the limb NTT (experimental)
-    use_pallas_ntt: bool = False
+    # witness engine limb-NTT backend: None = auto (try the fused Pallas
+    # kernel, fall back to the XLA path if Mosaic is unavailable);
+    # True = require Pallas; False = XLA only
+    use_pallas_ntt: bool | None = None
     # pallas batch block
     pallas_block: int = 64
     # CRT satisfiability primes
@@ -35,7 +37,12 @@ class RuntimeConfig:
             raw = os.environ.get(prefix + f.name.upper())
             if raw is None:
                 continue
-            if f.type in ("int", int):
+            if f.name == "use_pallas_ntt":
+                cfg.use_pallas_ntt = (
+                    None if raw.lower() == "auto"
+                    else raw.lower() in ("1", "true", "yes")
+                )
+            elif f.type in ("int", int):
                 setattr(cfg, f.name, int(raw))
             elif f.type in ("bool", bool):
                 setattr(cfg, f.name, raw.lower() in ("1", "true", "yes"))

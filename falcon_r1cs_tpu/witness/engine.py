@@ -200,7 +200,9 @@ class WitnessBatch:
     hm_ntt: jnp.ndarray         # (B, n) public input
 
 
-def generate_witness_ntt(sig, pk_ntt, hm_ntt, params: FalconParams):
+def generate_witness_ntt(
+    sig, pk_ntt, hm_ntt, params: FalconParams, use_pallas: bool = False
+):
     """All witness values of FalconNTTVerificationCircuit for a batch.
 
     Inputs: (B, n) int32 arrays: sig lifted to [0, q), pk and hm in NTT
@@ -221,19 +223,12 @@ def generate_witness_ntt(sig, pk_ntt, hm_ntt, params: FalconParams):
     v_bits = _bits(v, 14)
     range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits)], axis=-1)
 
-    # the two in-circuit NTTs with big quotient hints (the experimental
-    # Pallas kernel is selectable via FALCON_TPU_USE_PALLAS_NTT=1)
-    from ..utils.config import get_config
+    # the two in-circuit NTTs with big quotient hints; backend chosen by
+    # the caller (jitted_engine handles the auto/fallback policy)
+    from ..ops.ntt_limb import ntt_hints
 
-    if get_config().use_pallas_ntt:
-        from ..ops.pallas_ntt import ntt_with_hints_pallas
-
-        cfg = get_config()
-        sig_t, sig_b = ntt_with_hints_pallas(sig, params, cfg.pallas_block)
-        v_t, v_b = ntt_with_hints_pallas(v, params, cfg.pallas_block)
-    else:
-        sig_t, sig_b = ntt_with_hints(sig, params)
-        v_t, v_b = ntt_with_hints(v, params)
+    sig_t, sig_b = ntt_hints(sig, params, use_pallas)
+    v_t, v_b = ntt_hints(v, params, use_pallas)
     sig_bits, sig_chain = _modq_block(sig_t, sig_b)
     v_bits_n, v_chain = _modq_block(v_t, v_b)
     sig_tail = jnp.concatenate([sig_bits, sig_chain], axis=-1)
@@ -285,20 +280,52 @@ def generate_witness_ntt(sig, pk_ntt, hm_ntt, params: FalconParams):
 
 @functools.lru_cache(maxsize=None)
 def jitted_engine(n: int):
-    """jit-compiled witness generator for the given parameter set."""
+    """jit-compiled witness generator for the given parameter set.
+
+    Backend policy (utils/config.use_pallas_ntt): True/False are strict;
+    None (default) tries the fused Pallas limb-NTT kernel on first call and
+    falls back to the XLA path if Mosaic is unavailable (e.g. CPU test
+    runs, older compilers)."""
+    from ..utils.config import get_config
+
     params = get_params(n)
 
-    @jax.jit
-    def run(sig, pk_ntt, hm_ntt):
-        wb = generate_witness_ntt(sig, pk_ntt, hm_ntt, params)
-        return {
-            "sig": wb.sig, "v": wb.v, "range_v": wb.range_v,
-            "sig_ntt_t": wb.sig_ntt_t, "sig_ntt_b": wb.sig_ntt_b,
-            "sig_ntt_tail": wb.sig_ntt_tail,
-            "v_ntt_t": wb.v_ntt_t, "v_ntt_b": wb.v_ntt_b,
-            "v_ntt_tail": wb.v_ntt_tail,
-            "pointwise": wb.pointwise, "norm": wb.norm, "bound": wb.bound,
-            "pk_ntt": wb.pk_ntt, "hm_ntt": wb.hm_ntt,
-        }
+    def build(use_pallas):
+        @jax.jit
+        def run(sig, pk_ntt, hm_ntt):
+            wb = generate_witness_ntt(
+                sig, pk_ntt, hm_ntt, params, use_pallas
+            )
+            return _seg_dict(wb)
 
-    return run
+        return run
+
+    pref = get_config().use_pallas_ntt
+    if pref is not None:
+        return build(pref)
+
+    state = {"impl": build(True), "fallen_back": False}
+
+    def run_auto(sig, pk_ntt, hm_ntt):
+        try:
+            return state["impl"](sig, pk_ntt, hm_ntt)
+        except Exception:
+            if state["fallen_back"]:
+                raise
+            state["impl"] = build(False)
+            state["fallen_back"] = True
+            return state["impl"](sig, pk_ntt, hm_ntt)
+
+    return run_auto
+
+
+def _seg_dict(wb):
+    return {
+        "sig": wb.sig, "v": wb.v, "range_v": wb.range_v,
+        "sig_ntt_t": wb.sig_ntt_t, "sig_ntt_b": wb.sig_ntt_b,
+        "sig_ntt_tail": wb.sig_ntt_tail,
+        "v_ntt_t": wb.v_ntt_t, "v_ntt_b": wb.v_ntt_b,
+        "v_ntt_tail": wb.v_ntt_tail,
+        "pointwise": wb.pointwise, "norm": wb.norm, "bound": wb.bound,
+        "pk_ntt": wb.pk_ntt, "hm_ntt": wb.hm_ntt,
+    }
