@@ -51,7 +51,9 @@ def _modq_tail(b):
     return jnp.concatenate([bits, _lt_q_chain(bits)], axis=-1)
 
 
-def generate_witness_dual(sig_signed, pk_ntt, hm_ntt, params: FalconParams):
+def generate_witness_dual(
+    sig_signed, pk_ntt, hm_ntt, params: FalconParams, use_pallas: bool = False
+):
     """All witness values of FalconDualNTTVerificationCircuit for a batch.
 
     sig_signed: (B, n) int32 SIGNED signature coefficients.
@@ -77,10 +79,12 @@ def generate_witness_dual(sig_signed, pk_ntt, hm_ntt, params: FalconParams):
     v_orth = v_pos * v_neg
 
     # four NTT circuits with hints
-    sp_t, sp_b = ntt_with_hints(sig_pos, params)
-    sn_t, sn_b = ntt_with_hints(sig_neg, params)
-    vp_t, vp_b = ntt_with_hints(v_pos, params)
-    vn_t, vn_b = ntt_with_hints(v_neg, params)
+    from ..ops.ntt_limb import ntt_hints
+
+    sp_t, sp_b = ntt_hints(sig_pos, params, use_pallas)
+    sn_t, sn_b = ntt_hints(sig_neg, params, use_pallas)
+    vp_t, vp_b = ntt_hints(v_pos, params, use_pallas)
+    vn_t, vn_b = ntt_hints(v_neg, params, use_pallas)
 
     # pointwise: left = mod_q(hm + vn + sn*pk), right = mod_q(vp + sp*pk)
     mul_l = sn_b * pk_ntt
@@ -122,10 +126,36 @@ def generate_witness_dual(sig_signed, pk_ntt, hm_ntt, params: FalconParams):
 
 @functools.lru_cache(maxsize=None)
 def jitted_engine_dual(n: int):
+    """Backend policy identical to engine.jitted_engine: auto-Pallas with
+    XLA fallback unless the config pins a backend."""
+    from ..utils.config import get_config
+
     params = get_params(n)
-    return jax.jit(
-        lambda sig, pk, hm: generate_witness_dual(sig, pk, hm, params)
-    )
+
+    def build(use_pallas):
+        return jax.jit(
+            lambda sig, pk, hm: generate_witness_dual(
+                sig, pk, hm, params, use_pallas
+            )
+        )
+
+    pref = get_config().use_pallas_ntt
+    if pref is not None:
+        return build(pref)
+
+    state = {"impl": build(True), "fallen_back": False}
+
+    def run_auto(sig, pk, hm):
+        try:
+            return state["impl"](sig, pk, hm)
+        except Exception:
+            if state["fallen_back"]:
+                raise
+            state["impl"] = build(False)
+            state["fallen_back"] = True
+            return state["impl"](sig, pk, hm)
+
+    return run_auto
 
 
 def interleave_witness_dual(seg: dict, params: FalconParams) -> np.ndarray:
