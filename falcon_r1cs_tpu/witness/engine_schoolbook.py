@@ -93,14 +93,12 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
     m2 = mult_code(d2)
     or_wire = neq1 * neq2
 
-    main = jnp.concatenate(
-        [
-            t[..., None], c[..., None], prods, c_bits, c_chain,
-            neq1[..., None], m1[..., None], neq2[..., None], m2[..., None],
-            or_wire[..., None],
-        ],
-        axis=-1,
-    )  # (B, n, n + 34)
+    # the main-loop block is kept as separate tensors: concatenating the
+    # (B, n, n) product tensor into one (B, n, n+34) array cost a full
+    # extra copy of the dominant buffer (~25% of device time)
+    tc = jnp.stack([t, c], axis=-1)                       # (B, n, 2)
+    c_tail = jnp.concatenate([c_bits, c_chain], axis=-1)  # (B, n, 27)
+    iseq = jnp.stack([neq1, m1, neq2, m2, or_wire], axis=-1)  # (B, n, 5)
 
     # norm over v || sig
     coeffs = jnp.concatenate([v, sig], axis=-1)
@@ -116,7 +114,8 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
     )
 
     return {
-        "sig": sig, "v_block": v_block, "main": main,
+        "sig": sig, "v_block": v_block,
+        "tc": tc, "prods": prods, "c_tail": c_tail, "iseq": iseq,
         "norm": norm_blk, "bound": bound, "pk": pk, "hm": hm,
     }
 
@@ -136,12 +135,16 @@ def interleave_witness_schoolbook(seg: dict, params: FalconParams) -> np.ndarray
     n = params.n
     o = lambda k: np.asarray(seg[k], dtype=object)
     B = o("sig").shape[0]
-    main = o("main")
-    # expand multiplier codes (slots n+30 and n+32 of each column block)
-    for slot in (n + 30, n + 32):
-        main[:, :, slot] = _MULT_VALUES[
-            np.asarray(seg["main"])[:, :, slot].astype(np.int64)
+    # reassemble the per-column block [t, c | prods | c range chain |
+    # neq1, mult1, neq2, mult2, or] with multiplier codes expanded
+    iseq = o("iseq")
+    for slot in (1, 3):  # mult1, mult2
+        iseq[:, :, slot] = _MULT_VALUES[
+            np.asarray(seg["iseq"])[:, :, slot].astype(np.int64)
         ]
+    main = np.concatenate(
+        [o("tc"), o("prods"), o("c_tail"), iseq], axis=-1
+    )
     parts = [
         o("sig"),
         o("v_block").reshape(B, -1),

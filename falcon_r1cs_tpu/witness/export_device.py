@@ -154,8 +154,15 @@ def packer_schoolbook(n: int):
         base += w
     W = base
     main_blk = idx["main"].reshape(n, n + 34)
+    sub = {
+        "tc": main_blk[:, :2],
+        "prods": main_blk[:, 2 : n + 2],
+        "c_tail": main_blk[:, n + 2 : n + 29],
+        "iseq": main_blk[:, n + 29 :],
+    }
     m_slots = np.ascontiguousarray(main_blk[:, [n + 30, n + 32]])
     jidx = {k: jnp.asarray(v) for k, v in idx.items()}
+    jsub = {k: jnp.asarray(np.ascontiguousarray(v)) for k, v in sub.items()}
     jm_slots = jnp.asarray(m_slots)
 
     mult_table = np.zeros((3, 8), dtype=np.uint32)
@@ -168,13 +175,16 @@ def packer_schoolbook(n: int):
     @jax.jit
     def pack(seg):
         B = seg["sig"].shape[0]
-        codes = seg["main"][:, :, [n + 30, n + 32]]  # (B, n, 2)
+        codes = seg["iseq"][:, :, [1, 3]]  # (B, n, 2) multiplier codes
         plane0 = jnp.zeros((B, W), jnp.int32)
         plane0 = plane0.at[:, jidx["sig"]].set(seg["sig"])
         plane0 = plane0.at[:, jidx["v_block"]].set(
             seg["v_block"].reshape(B, -1)
         )
-        plane0 = plane0.at[:, jidx["main"]].set(seg["main"].reshape(B, -1))
+        for k in ("tc", "prods", "c_tail", "iseq"):
+            plane0 = plane0.at[:, jsub[k].reshape(-1)].set(
+                seg[k].reshape(B, -1)
+            )
         plane0 = plane0.at[:, jidx["norm"]].set(seg["norm"].reshape(B, -1))
         plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"])
         planes = []
