@@ -37,3 +37,7 @@ __all__ += [
     "jitted_engine_dual",
     "jitted_engine_schoolbook",
 ]
+
+from .api import CircuitWitness, circuit_witness
+
+__all__ += ["CircuitWitness", "circuit_witness"]

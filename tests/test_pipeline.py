@@ -113,3 +113,36 @@ def test_pipeline_chunking_matches_single_pass(rng):
     assert np.array_equal(np.asarray(a.packed), np.asarray(b.packed))
     for k in a.seg:
         assert np.array_equal(np.asarray(a.seg[k]), np.asarray(b.seg[k])), k
+
+
+def test_circuit_witness_api(rng):
+    """Unified per-circuit witness API: engine -> pack -> interleave parity
+    for each circuit family."""
+    import jax
+
+    from falcon_r1cs_tpu import (
+        FalconDualNTTVerificationCircuit,
+        FalconSchoolBookVerificationCircuit,
+    )
+    from falcon_r1cs_tpu.falcon import ntt
+    from falcon_r1cs_tpu.witness import circuit_witness
+
+    inst = make_instance(rng, FALCON_512)
+    pk_ntt = ntt(inst.h)[None].astype(np.int32)
+    hm_ntt = ntt(inst.hm)[None].astype(np.int32)
+
+    cw = circuit_witness(FalconNTTVerificationCircuit, 512)
+    seg = cw.engine(inst.sig_lifted[None].astype(np.int32), pk_ntt, hm_ntt)
+    packed = np.asarray(cw.pack(seg)).astype(np.int64) & 0xFFFFFFFF
+    flat = cw.interleave(seg)
+    vals = np.zeros(packed.shape[:2], dtype=object)
+    for k in range(cw.export_limbs - 1, -1, -1):
+        vals = (vals << 32) + packed[:, :, k]
+    assert (vals == flat).all()
+
+    cw = circuit_witness(FalconDualNTTVerificationCircuit, 512)
+    seg = cw.engine(inst.sig_signed[None].astype(np.int32), pk_ntt, hm_ntt)
+    assert cw.interleave(seg).shape[1] == 95286
+
+    with pytest.raises(TypeError):
+        circuit_witness(int, 512)
