@@ -53,8 +53,7 @@ def bench_witnesses_device(batch=1024, n=1024, iters=3):
     jax.profiler trace, excluding host/tunnel overhead (which dominates
     wall clock on the tunneled dev chip and varies ~30x with remote load).
     Returns None when no TPU pid-group appears in the trace (CPU runs)."""
-    import glob
-    import gzip
+    import shutil
     import tempfile
 
     import jax
@@ -65,31 +64,53 @@ def bench_witnesses_device(batch=1024, n=1024, iters=3):
     fn = jitted_engine(n)
     jax.block_until_ready(fn(*args))
     tmp = tempfile.mkdtemp(prefix="bench_trace_")
-    jax.profiler.start_trace(tmp)
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
-    paths = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))
+    try:
+        jax.profiler.start_trace(tmp)
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        dev_us = device_time_us_from_trace(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not dev_us:
+        return None
+    return batch * iters / (dev_us / 1e6)
+
+
+def device_time_us_from_trace(trace_dir: str):
+    """Sum device-side op time from a jax.profiler trace.
+
+    The trace contains BOTH a whole-module span row ("XLA Modules") and a
+    per-op row ("XLA Ops") for the device pid with equal totals -- summing
+    every event double-counts by exactly 2x.  Only the "XLA Ops" thread row
+    is counted here."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not paths:
         return None
     with gzip.open(paths[-1]) as f:
         data = json.load(f)
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
-        for e in data["traceEvents"]
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    dev_us = sum(
+    pid_names = {}
+    tid_names = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pid_names[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tid_names[(e["pid"], e.get("tid"))] = e["args"].get(
+                    "name", ""
+                )
+    return sum(
         e["dur"]
         for e in data["traceEvents"]
         if e.get("ph") == "X" and "dur" in e
         and "TPU" in pid_names.get(e.get("pid"), "")
+        and tid_names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"
     )
-    if dev_us <= 0:
-        return None
-    return batch * iters / (dev_us / 1e6)
 
 
 def bench_dual(batch=512, n=1024):

@@ -112,10 +112,11 @@ def _make_kernel(params: FalconParams):
 @functools.lru_cache(maxsize=None)
 def _build(n: int, block: int):
     params = get_params(n)
-    tw, lo_mask, bounds = _stage_tables(params)
-    tw = jnp.asarray(tw)
-    lo_mask = jnp.asarray(lo_mask)
-    bounds_arr = jnp.asarray(bounds)
+    # keep the tables as NUMPY in this (lru-cached) closure: converting to
+    # jnp here would capture trace-time tracers when _build is first hit
+    # inside a jit trace, leaking them into later traces via the cache
+    tw, lo_mask, bounds_arr = _stage_tables(params)
+    bounds_arr = np.asarray(bounds_arr, dtype=np.int32)
     kernel = _make_kernel(params)
 
     def run(x):

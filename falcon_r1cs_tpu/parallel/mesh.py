@@ -57,20 +57,21 @@ def sharded_engine(n: int, mesh_key=None):
     mesh_key: the Mesh (hashable) to place shardings on; None = single
     device jit.
     """
+    from ..utils.config import get_config
+    from ..witness.engine import _seg_dict
+
     params = get_params(n)
     mesh = mesh_key
+    # sharded path: honor an EXPLICIT use_pallas_ntt=True pin; the auto
+    # default stays on the XLA path here (no first-call fallback machinery
+    # under sharded compilation, and virtual CPU meshes have no Mosaic)
+    use_pallas = get_config().use_pallas_ntt is True
 
     def run(sig, pk_ntt, hm_ntt):
-        wb = generate_witness_ntt(sig, pk_ntt, hm_ntt, params)
-        return {
-            "sig": wb.sig, "v": wb.v, "range_v": wb.range_v,
-            "sig_ntt_t": wb.sig_ntt_t, "sig_ntt_b": wb.sig_ntt_b,
-            "sig_ntt_tail": wb.sig_ntt_tail,
-            "v_ntt_t": wb.v_ntt_t, "v_ntt_b": wb.v_ntt_b,
-            "v_ntt_tail": wb.v_ntt_tail,
-            "pointwise": wb.pointwise, "norm": wb.norm, "bound": wb.bound,
-            "pk_ntt": wb.pk_ntt, "hm_ntt": wb.hm_ntt,
-        }
+        wb = generate_witness_ntt(
+            sig, pk_ntt, hm_ntt, params, use_pallas
+        )
+        return _seg_dict(wb)
 
     if mesh is None:
         return jax.jit(run)

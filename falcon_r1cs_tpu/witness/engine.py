@@ -278,16 +278,59 @@ def generate_witness_ntt(
     )
 
 
-@functools.lru_cache(maxsize=None)
+_PALLAS_UNAVAILABLE_MARKERS = (
+    "mosaic", "pallas", "unimplemented", "not implemented",
+    "unsupported", "known backends",
+    "interpret mode",  # "Only interpret mode is supported on CPU backend"
+)
+
+
+def auto_backend(build):
+    """Shared backend policy: try the Pallas build on first call and fall
+    back to the XLA build ONLY when the error indicates Mosaic/Pallas is
+    unavailable on this platform; everything else (OOM, bad shapes,
+    transient device errors) propagates.  Falling back emits a warning."""
+    state = {"impl": build(True), "fallen_back": False}
+
+    def run_auto(*args):
+        try:
+            return state["impl"](*args)
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}".lower()
+            if state["fallen_back"] or not any(
+                m in msg for m in _PALLAS_UNAVAILABLE_MARKERS
+            ):
+                raise
+            import warnings
+
+            warnings.warn(
+                "Pallas limb-NTT unavailable on this platform; falling "
+                f"back to the XLA path ({type(e).__name__})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            state["impl"] = build(False)
+            state["fallen_back"] = True
+            return state["impl"](*args)
+
+    return run_auto
+
+
 def jitted_engine(n: int):
     """jit-compiled witness generator for the given parameter set.
 
     Backend policy (utils/config.use_pallas_ntt): True/False are strict;
     None (default) tries the fused Pallas limb-NTT kernel on first call and
     falls back to the XLA path if Mosaic is unavailable (e.g. CPU test
-    runs, older compilers)."""
+    runs).  The cache is keyed on the configured preference so
+    set_config() changes take effect on the next lookup."""
     from ..utils.config import get_config
 
+    return _jitted_engine(n, get_config().use_pallas_ntt)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_engine(n: int, pref):
     params = get_params(n)
 
     def build(use_pallas):
@@ -300,23 +343,9 @@ def jitted_engine(n: int):
 
         return run
 
-    pref = get_config().use_pallas_ntt
     if pref is not None:
         return build(pref)
-
-    state = {"impl": build(True), "fallen_back": False}
-
-    def run_auto(sig, pk_ntt, hm_ntt):
-        try:
-            return state["impl"](sig, pk_ntt, hm_ntt)
-        except Exception:
-            if state["fallen_back"]:
-                raise
-            state["impl"] = build(False)
-            state["fallen_back"] = True
-            return state["impl"](sig, pk_ntt, hm_ntt)
-
-    return run_auto
+    return auto_backend(build)
 
 
 def _seg_dict(wb):

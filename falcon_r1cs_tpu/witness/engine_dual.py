@@ -124,11 +124,17 @@ def generate_witness_dual(
     }
 
 
-@functools.lru_cache(maxsize=None)
 def jitted_engine_dual(n: int):
-    """Backend policy identical to engine.jitted_engine: auto-Pallas with
-    XLA fallback unless the config pins a backend."""
+    """Backend policy identical to engine.jitted_engine (shared
+    auto_backend helper); cache keyed on the configured preference."""
     from ..utils.config import get_config
+
+    return _jitted_engine_dual(n, get_config().use_pallas_ntt)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_engine_dual(n: int, pref):
+    from .engine import auto_backend
 
     params = get_params(n)
 
@@ -139,23 +145,9 @@ def jitted_engine_dual(n: int):
             )
         )
 
-    pref = get_config().use_pallas_ntt
     if pref is not None:
         return build(pref)
-
-    state = {"impl": build(True), "fallen_back": False}
-
-    def run_auto(sig, pk, hm):
-        try:
-            return state["impl"](sig, pk, hm)
-        except Exception:
-            if state["fallen_back"]:
-                raise
-            state["impl"] = build(False)
-            state["fallen_back"] = True
-            return state["impl"](sig, pk, hm)
-
-    return run_auto
+    return auto_backend(build)
 
 
 def interleave_witness_dual(seg: dict, params: FalconParams) -> np.ndarray:
