@@ -48,20 +48,17 @@ def bench_witnesses(batch=1024, n=1024):
     return rate
 
 
-def bench_witnesses_device(batch=1024, n=1024, iters=3):
-    """Device-profiled rate: sums TPU-side op durations from a
-    jax.profiler trace, excluding host/tunnel overhead (which dominates
-    wall clock on the tunneled dev chip and varies ~30x with remote load).
-    Returns None when no TPU pid-group appears in the trace (CPU runs)."""
+def _device_rate(fn, args, items, iters=3):
+    """Device-profiled rate for any jitted callable: sums TPU-side
+    "XLA Ops" durations from a jax.profiler trace, excluding host/tunnel
+    overhead (which dominates wall clock on the tunneled dev chip and
+    varies ~30x with remote load).  Returns None when no TPU rows appear
+    (CPU runs)."""
     import shutil
     import tempfile
 
     import jax
 
-    from falcon_r1cs_tpu.witness.engine import jitted_engine
-
-    args = _inputs(batch, n)
-    fn = jitted_engine(n)
     jax.block_until_ready(fn(*args))
     tmp = tempfile.mkdtemp(prefix="bench_trace_")
     try:
@@ -76,7 +73,17 @@ def bench_witnesses_device(batch=1024, n=1024, iters=3):
         shutil.rmtree(tmp, ignore_errors=True)
     if not dev_us:
         return None
-    return batch * iters / (dev_us / 1e6)
+    return items * iters / (dev_us / 1e6)
+
+
+def bench_witnesses_device(batch=1024, n=1024, iters=3):
+    import jax
+
+    from falcon_r1cs_tpu.witness.engine import jitted_engine
+
+    args = _inputs(batch, n)
+    fn = jitted_engine(n)
+    return _device_rate(fn, args, batch, iters)
 
 
 def device_time_us_from_trace(trace_dir: str):
@@ -114,11 +121,15 @@ def device_time_us_from_trace(trace_dir: str):
 
 
 def bench_dual(batch=512, n=1024):
+    """Device-profiled when possible, wall-clock slope otherwise."""
     from falcon_r1cs_tpu.utils.profiling import throughput
     from falcon_r1cs_tpu.witness.engine_dual import jitted_engine_dual
 
     args = _inputs(batch, n, signed=True)
-    rate, _ = throughput(jitted_engine_dual(n), args, items_per_call=batch)
+    fn = jitted_engine_dual(n)
+    rate = _device_rate(fn, args, batch)
+    if rate is None:
+        rate, _ = throughput(fn, args, items_per_call=batch)
     return rate
 
 
@@ -129,9 +140,10 @@ def bench_schoolbook(batch=64, n=1024):
     )
 
     args = _inputs(batch, n)
-    rate, _ = throughput(
-        jitted_engine_schoolbook(n), args, items_per_call=batch
-    )
+    fn = jitted_engine_schoolbook(n)
+    rate = _device_rate(fn, args, batch)
+    if rate is None:
+        rate, _ = throughput(fn, args, items_per_call=batch)
     return rate
 
 
