@@ -133,7 +133,7 @@ def bench_dual(batch=512, n=1024):
     return rate
 
 
-def bench_schoolbook(batch=64, n=1024):
+def bench_schoolbook(batch=128, n=1024):
     from falcon_r1cs_tpu.utils.profiling import throughput
     from falcon_r1cs_tpu.witness.engine_schoolbook import (
         jitted_engine_schoolbook,
