@@ -57,3 +57,18 @@ def test_schoolbook_engine_bit_exact(rng, params):
     for b, inst in enumerate(insts):
         host = _host_witness(inst, FalconSchoolBookVerificationCircuit)
         assert [int(x) for x in mat[b]] == host
+
+
+def test_schoolbook_engine_bit_exact_1024(rng):
+    """The heaviest parity case: 1,150,004 witness values per signature."""
+    inst = make_instance(rng, FALCON_1024)
+    sig = inst.sig_lifted[None].astype(np.int32)
+    pk = inst.h[None].astype(np.int32)
+    hm = inst.hm[None].astype(np.int32)
+    seg = {
+        k: np.asarray(v)
+        for k, v in jitted_engine_schoolbook(1024)(sig, pk, hm).items()
+    }
+    mat = interleave_witness_schoolbook(seg, FALCON_1024)
+    host = _host_witness(inst, FalconSchoolBookVerificationCircuit)
+    assert [int(x) for x in mat[0]] == host
