@@ -59,15 +59,19 @@ def _device_rate(fn, args, items, iters=3):
 
     import jax
 
+    if jax.devices()[0].platform.lower() not in ("tpu", "axon"):
+        return None  # no device rows to trace; skip the profiling cost
     jax.block_until_ready(fn(*args))
     tmp = tempfile.mkdtemp(prefix="bench_trace_")
     try:
         jax.profiler.start_trace(tmp)
-        out = None
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        jax.profiler.stop_trace()
+        try:
+            out = None
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+        finally:
+            jax.profiler.stop_trace()  # never leave the profiler running
         dev_us = device_time_us_from_trace(tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -77,13 +81,10 @@ def _device_rate(fn, args, items, iters=3):
 
 
 def bench_witnesses_device(batch=1024, n=1024, iters=3):
-    import jax
-
     from falcon_r1cs_tpu.witness.engine import jitted_engine
 
     args = _inputs(batch, n)
-    fn = jitted_engine(n)
-    return _device_rate(fn, args, batch, iters)
+    return _device_rate(jitted_engine(n), args, batch, iters)
 
 
 def device_time_us_from_trace(trace_dir: str):

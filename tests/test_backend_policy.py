@@ -59,7 +59,9 @@ def test_device_time_trace_accounting(tmp_path):
          "args": {"name": "XLA Modules"}},
         {"ph": "M", "name": "thread_name", "pid": 7, "tid": 2,
          "args": {"name": "XLA Ops"}},
-        {"ph": "X", "pid": 7, "tid": 1, "dur": 1000, "name": "module"},
+        # module-row total deliberately DIFFERENT from the ops-row total so
+        # the assertion discriminates which row was summed
+        {"ph": "X", "pid": 7, "tid": 1, "dur": 1300, "name": "module"},
         {"ph": "X", "pid": 7, "tid": 2, "dur": 600, "name": "fusion.1"},
         {"ph": "X", "pid": 7, "tid": 2, "dur": 400, "name": "fusion.2"},
         # host events must be excluded entirely
