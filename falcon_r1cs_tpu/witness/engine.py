@@ -214,20 +214,19 @@ def generate_witness_ntt(
     pk_ntt = pk_ntt.astype(jnp.int32)
     hm_ntt = hm_ntt.astype(jnp.int32)
 
+    # sig's NTT hints first: the hint kernel's reduced output sig_b IS the
+    # clear NTT of sig, so the v derivation reuses it (one NTT saved)
+    from ..ops.ntt_limb import ntt_hints
+
+    sig_t, sig_b = ntt_hints(sig, params, use_pallas)
+
     # v = hm - sig*pk mod (q, x^n+1), computed in NTT domain on device
-    sig_ntt_clear = ntt_jax(sig, n)
-    v_ntt_clear = sub_mod_q(hm_ntt, mul_mod_q(sig_ntt_clear, pk_ntt))
-    v = intt_jax(v_ntt_clear, n)
+    v = intt_jax(sub_mod_q(hm_ntt, mul_mod_q(sig_b, pk_ntt)), n)
 
     # range proof chains on v
     v_bits = _bits(v, 14)
     range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits)], axis=-1)
 
-    # the two in-circuit NTTs with big quotient hints; backend chosen by
-    # the caller (jitted_engine handles the auto/fallback policy)
-    from ..ops.ntt_limb import ntt_hints
-
-    sig_t, sig_b = ntt_hints(sig, params, use_pallas)
     v_t, v_b = ntt_hints(v, params, use_pallas)
     sig_bits, sig_chain = _modq_block(sig_t, sig_b)
     v_bits_n, v_chain = _modq_block(v_t, v_b)

@@ -66,11 +66,17 @@ def generate_witness_dual(
     sig_pos = jnp.where(sig_signed >= 0, sig_signed, 0)
     sig_neg = jnp.where(sig_signed < 0, -sig_signed, 0)
 
+    # sig NTT hints first: sig_lifted = (pos - neg) mod q and the NTT is
+    # linear, so NTT(sig) = (sp_b - sn_b) mod q -- the hint kernels'
+    # reduced outputs replace a separate clear NTT for the v derivation
+    from ..ops.ntt_limb import ntt_hints
+
+    sp_t, sp_b = ntt_hints(sig_pos, params, use_pallas)
+    sn_t, sn_b = ntt_hints(sig_neg, params, use_pallas)
+
     # v = hm - sig*pk mod (q, x^n+1) via NTT domain
-    sig_lifted = jnp.where(sig_signed < 0, sig_signed + Q, sig_signed)
-    v = intt_jax(
-        sub_mod_q(hm_ntt, mul_mod_q(ntt_jax(sig_lifted, n), pk_ntt)), n
-    )
+    sig_ntt = sub_mod_q(sp_b, sn_b)
+    v = intt_jax(sub_mod_q(hm_ntt, mul_mod_q(sig_ntt, pk_ntt)), n)
     v_pos, v_neg = _dual_split(v)
 
     # orthogonality mul wires: partial products pos_i * neg_i (all zero for
@@ -78,11 +84,6 @@ def generate_witness_dual(
     sig_orth = sig_pos * sig_neg          # (B, n)
     v_orth = v_pos * v_neg
 
-    # four NTT circuits with hints
-    from ..ops.ntt_limb import ntt_hints
-
-    sp_t, sp_b = ntt_hints(sig_pos, params, use_pallas)
-    sn_t, sn_b = ntt_hints(sig_neg, params, use_pallas)
     vp_t, vp_b = ntt_hints(v_pos, params, use_pallas)
     vn_t, vn_b = ntt_hints(v_neg, params, use_pallas)
 
