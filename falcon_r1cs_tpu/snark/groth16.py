@@ -1,0 +1,297 @@
+"""Groth16 zkSNARK over BLS12-381: setup / prove / verify.
+
+The reference's end-to-end flow
+(`/root/reference/falcon-r1cs/examples/pok_sig.rs:30-47`):
+
+    let param = generate_random_parameters::<Bls12_381,_,_>(cs, &mut rng);
+    let proof = create_random_proof(cs, &param, &mut rng);
+    assert!(verify_proof(&pvk, &proof, &public_inputs));
+
+This module is the from-scratch equivalent over our CompiledR1CS
+artifacts.  [Groth16]:
+
+    CRS (toxic alpha, beta, gamma, delta, tau):
+      pk: [alpha]1 [beta]1 [delta]1, {[u_i(t)]1}, {[v_i(t)]1}, {[v_i(t)]2},
+          {[(beta u_i + alpha v_i + w_i)/delta]1 : i witness},
+          {[t^i Z(t)/delta]1 : i < n-1}, [beta]2 [delta]2
+      vk: [alpha]1 [beta]2 [gamma]2 [delta]2,
+          {[(beta u_i + alpha v_i + w_i)/gamma]1 : i instance}
+    Prove (random r, s; wires z):
+      A = [alpha + sum z_i u_i(t) + r delta]1
+      B = [beta  + sum z_i v_i(t) + s delta]2   (and its G1 twin)
+      C = [(sum_wit z_i (beta u_i + alpha v_i + w_i) + h(t)Z(t))/delta]1
+          + s A + r B1 - r s [delta]1
+    Verify:
+      e(A, B) == e([alpha]1, [beta]2) * e(sum_inst z_i ic_i, [gamma]2)
+                 * e(C, [delta]2)
+
+Host path is pure Python (correctness oracle); the MSM/FFT hot loops
+dispatch to native/groth16_native.c when available (set
+use_native=False to force the reference path).
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+from . import msm
+from .bls12_381 import (
+    R,
+    G1_GEN,
+    G2_GEN,
+    g1_add,
+    g1_from_affine,
+    g1_mul,
+    g1_neg,
+    g1_to_affine,
+    g2_add,
+    g2_from_affine,
+    g2_mul,
+    g2_to_affine,
+    multi_pairing,
+    FQ12_ONE,
+)
+from .qap import matrices_at_tau, witness_map
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    ic: list  # [(beta u_i + alpha v_i + w_i)/gamma]_1 per instance wire
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: tuple
+    delta_g1: tuple
+    a_query: list     # [u_i(t)]_1, all wires (None = point at infinity)
+    b_g1_query: list  # [v_i(t)]_1
+    b_g2_query: list  # [v_i(t)]_2
+    h_query: list     # [t^i Z(t)/delta]_1, i < domain_size - 1
+    l_query: list     # [(beta u_i + alpha v_i + w_i)/delta]_1, witness wires
+
+
+@dataclass
+class Proof:
+    a: tuple  # G1 affine
+    b: tuple  # G2 affine
+    c: tuple  # G1 affine
+
+
+class SetupToxic:
+    """Trapdoor sample (kept only for deterministic tests)."""
+
+    def __init__(self, tau, alpha, beta, gamma, delta):
+        self.tau, self.alpha, self.beta = tau, alpha, beta
+        self.gamma, self.delta = gamma, delta
+
+    @classmethod
+    def random(cls, rng=None):
+        draw = (lambda: rng.integers(1, R)) if rng is not None else (
+            lambda: 1 + secrets.randbelow(R - 1)
+        )
+        return cls(*(int(draw()) for _ in range(5)))
+
+
+def setup(compiled, toxic: SetupToxic | None = None, use_native: bool = True,
+          progress=None) -> ProvingKey:
+    """Circuit-specific CRS generation (the reference's
+    `generate_random_parameters`, pok_sig.rs:30-32)."""
+    tox = toxic or SetupToxic.random()
+    tau, alpha, beta = tox.tau, tox.alpha, tox.beta
+    gamma, delta = tox.gamma, tox.delta
+    u, v, w, z_tau, dom = matrices_at_tau(compiled, tau)
+    ni = compiled.num_instance
+    gamma_inv = pow(gamma, -1, R)
+    delta_inv = pow(delta, -1, R)
+
+    ic_scalars = [
+        (beta * u[i] + alpha * v[i] + w[i]) % R * gamma_inv % R
+        for i in range(ni)
+    ]
+    l_scalars = [
+        (beta * u[i] + alpha * v[i] + w[i]) % R * delta_inv % R
+        for i in range(ni, compiled.num_variables)
+    ]
+    # h basis: t^i * Z(t) / delta
+    zd = z_tau * delta_inv % R
+    h_scalars = [0] * (dom.size - 1)
+    cur = zd
+    for i in range(dom.size - 1):
+        h_scalars[i] = cur
+        cur = cur * tau % R
+
+    native = _native() if use_native else None
+    if native is not None:
+        fb1 = native.g1_fixed_base_batch
+        fb2 = native.g2_fixed_base_batch
+        a_query = fb1(u)
+        b_g1_query = fb1(v)
+        b_g2_query = fb2(v)
+        h_query = fb1(h_scalars)
+        l_query = fb1(l_scalars)
+        ic = fb1(ic_scalars)
+    else:
+        t1 = msm.g1_fixed_base(G1_GEN)
+        t2 = msm.g2_fixed_base(G2_GEN)
+
+        def fb1(scalars):
+            return msm.g1_normalize_batch(t1.mul_batch(scalars))
+
+        def fb2(scalars):
+            return msm.g2_normalize_batch(t2.mul_batch(scalars))
+
+        a_query = fb1(u)
+        b_g1_query = fb1(v)
+        b_g2_query = fb2(v)
+        h_query = fb1(h_scalars)
+        l_query = fb1(l_scalars)
+        ic = fb1(ic_scalars)
+
+    vk = VerifyingKey(
+        alpha_g1=g1_to_affine(g1_mul(g1_from_affine(G1_GEN), alpha)),
+        beta_g2=g2_to_affine(g2_mul(g2_from_affine(G2_GEN), beta)),
+        gamma_g2=g2_to_affine(g2_mul(g2_from_affine(G2_GEN), gamma)),
+        delta_g2=g2_to_affine(g2_mul(g2_from_affine(G2_GEN), delta)),
+        ic=ic,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=g1_to_affine(g1_mul(g1_from_affine(G1_GEN), beta)),
+        delta_g1=g1_to_affine(g1_mul(g1_from_affine(G1_GEN), delta)),
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+    )
+
+
+def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
+          s: int | None = None, use_native: bool = True) -> Proof:
+    """Create a proof for one full wire assignment (instance ++ witness).
+
+    Mirrors `create_random_proof` (pok_sig.rs:37).  r/s override the
+    blinding randomness for deterministic tests.
+    """
+    if r is None:
+        r = secrets.randbelow(R)
+    if s is None:
+        s = secrets.randbelow(R)
+    z = [int(x) % R for x in assignment]
+    assert len(z) == compiled.num_variables
+    ni = compiled.num_instance
+
+    native = _native() if use_native else None
+    h, h_top = witness_map_dispatch(compiled, z, native)
+    assert h_top == 0, "assignment does not satisfy the R1CS"
+
+    if native is not None:
+        g1msm, g2msm = native.g1_msm, native.g2_msm
+    else:
+        def g1msm(points, scalars):
+            pts, sc = _strip(points, scalars)
+            return g1_to_affine(msm.g1_msm([g1_from_affine(p) for p in pts], sc))
+
+        def g2msm(points, scalars):
+            pts, sc = _strip(points, scalars)
+            return g2_to_affine(msm.g2_msm([g2_from_affine(p) for p in pts], sc))
+
+    ga = g1msm(pk.a_query, z)
+    gb1 = g1msm(pk.b_g1_query, z)
+    gb2 = g2msm(pk.b_g2_query, z)
+    gc_l = g1msm(pk.l_query, z[ni:])
+    gc_h = g1msm(pk.h_query, h)
+
+    delta1 = g1_from_affine(pk.delta_g1)
+    # A = alpha + <z, u> + r*delta
+    a_jac = g1_add(
+        g1_add(g1_from_affine(pk.vk.alpha_g1), _jac(ga)),
+        g1_mul(delta1, r),
+    )
+    # B (G2) = beta + <z, v> + s*delta ; B1 is its G1 twin
+    b_jac = g2_add(
+        g2_add(g2_from_affine(pk.vk.beta_g2), _jac2(gb2)),
+        g2_mul(g2_from_affine(pk.vk.delta_g2), s),
+    )
+    b1_jac = g1_add(
+        g1_add(g1_from_affine(pk.beta_g1), _jac(gb1)),
+        g1_mul(delta1, s),
+    )
+    # C = (l + h) + s*A + r*B1 - r*s*delta
+    c_jac = g1_add(_jac(gc_l), _jac(gc_h))
+    c_jac = g1_add(c_jac, g1_mul(a_jac, s))
+    c_jac = g1_add(c_jac, g1_mul(b1_jac, r))
+    c_jac = g1_add(c_jac, g1_neg(g1_mul(delta1, r * s % R)))
+    return Proof(
+        a=g1_to_affine(a_jac), b=g2_to_affine(b_jac), c=g1_to_affine(c_jac)
+    )
+
+
+def verify(vk: VerifyingKey, instance, proof: Proof) -> bool:
+    """Pairing check (the reference's `verify_proof`, pok_sig.rs:45-47).
+
+    `instance` is the instance wire vector INCLUDING the leading constant
+    one (matching our CompiledR1CS layout, col 0 = one wire).
+    """
+    inst = [int(x) % R for x in instance]
+    if len(inst) != len(vk.ic) or inst[0] != 1:
+        return False
+    acc = None
+    for x, pt in zip(inst, vk.ic):
+        if pt is None or x == 0:
+            continue
+        acc = g1_add(acc, g1_mul(g1_from_affine(pt), x))
+    acc_aff = g1_to_affine(acc)
+    neg_a = g1_to_affine(g1_neg(g1_from_affine(proof.a)))
+    result = multi_pairing(
+        [
+            (neg_a, proof.b),
+            (vk.alpha_g1, vk.beta_g2),
+            (acc_aff, vk.gamma_g2),
+            (proof.c, vk.delta_g2),
+        ]
+    )
+    return result == FQ12_ONE
+
+
+# --- helpers --------------------------------------------------------------
+
+
+def witness_map_dispatch(compiled, z, native):
+    if native is not None:
+        return native.witness_map(compiled, z)
+    return witness_map(compiled, z)
+
+
+def _strip(points, scalars):
+    pts, sc = [], []
+    for p, s in zip(points, scalars):
+        if p is None or s % R == 0:
+            continue
+        pts.append(p)
+        sc.append(s % R)
+    return pts, sc
+
+
+def _jac(aff):
+    return None if aff is None else g1_from_affine(aff)
+
+
+def _jac2(aff):
+    return None if aff is None else g2_from_affine(aff)
+
+
+def _native():
+    """The C backend (native/groth16_native.c) or None if unavailable."""
+    try:
+        from . import native_backend
+
+        return native_backend if native_backend.available() else None
+    except ImportError:
+        return None
