@@ -1,16 +1,15 @@
-"""Proof-of-knowledge-of-signature pipeline: the analog of the reference's
+"""Proof-of-knowledge-of-signature: the full analog of the reference's
 `examples/pok_sig.rs` (`/root/reference/falcon-r1cs/examples/pok_sig.rs`).
 
-The reference runs Groth16 setup/prove/verify over arkworks; a SNARK prover
-is out of scope for the TPU framework's north-star metric (SURVEY.md
-section 2.3, ark-groth16 row), so this example exercises the equivalent
-end-to-end pipeline with our components:
+Reference flow (pok_sig.rs:15-47):
+  keygen -> sign -> build circuit -> Groth16 setup -> prove -> verify.
 
-  keygen-free instance -> circuit synthesis (setup mode = Groth16 setup's
-  synthesis pass) -> batched device witness generation -> public-input
-  construction in the contract order (pk_ntt || hm_ntt) -> device CRT
-  satisfiability check (the "verify" of the R1CS layer) -> artifact export
-  of (A, B, C, witness) for an external prover.
+This example runs the same end-to-end pipeline with our components, plus
+the TPU-side stages the reference doesn't have:
+
+  real NTRU keygen + signing -> circuit synthesis (cached COO) ->
+  batched device witness generation -> device CRT satisfiability check ->
+  Groth16 setup (CRS cached to disk) -> prove -> pairing verify.
 """
 
 import time
@@ -25,7 +24,9 @@ from falcon_r1cs_tpu import FalconNTTVerificationCircuit
 from falcon_r1cs_tpu.falcon import ntt
 from falcon_r1cs_tpu.params import FALCON_512
 from falcon_r1cs_tpu.parallel.sat_check import ResidueSystem
-from falcon_r1cs_tpu.r1cs.coo import compile_circuit
+from falcon_r1cs_tpu.r1cs.coo import cache_dir, compile_circuit
+from falcon_r1cs_tpu.snark import prove, setup, verify
+from falcon_r1cs_tpu.snark.groth16 import load_pk, save_pk
 from falcon_r1cs_tpu.witness import interleave_witness, jitted_engine
 
 
@@ -46,31 +47,60 @@ def main():
           f"(|s2|max={abs(sig.s2).max()})")
     inst = instance_from_signature(keypair.h, msg, sig.nonce, sig.s2, params)
 
-    # circuit-specific "setup": shape-only synthesis -> compiled COO
+    # circuit-specific synthesis: shape-only trace -> compiled COO (cached)
     t0 = time.time()
     compiled = compile_circuit(FalconNTTVerificationCircuit, inst)
-    print(f"setup (trace+compile, cached): {time.time()-t0:.2f}s; "
+    print(f"synthesis (trace+compile, cached): {time.time()-t0:.2f}s; "
           f"{compiled.num_constraints} constraints, nnz={compiled.nnz()}")
 
-    # "prove": generate the full witness on device
-    sig = inst.sig_lifted[None].astype(np.int32)
+    # batched witness generation on device
+    t0 = time.time()
+    sig_arr = inst.sig_lifted[None].astype(np.int32)
     pk_ntt = ntt(inst.h)[None].astype(np.int32)
     hm_ntt = ntt(inst.hm)[None].astype(np.int32)
     run = jitted_engine(params.n)
-    seg = {k: np.asarray(v) for k, v in run(sig, pk_ntt, hm_ntt).items()}
+    seg = {k: np.asarray(v) for k, v in run(sig_arr, pk_ntt, hm_ntt).items()}
     wit = interleave_witness(seg, params)
+    print(f"witness (device engine): {time.time()-t0:.2f}s")
 
     # public inputs in the contract order: one || pk_ntt || hm_ntt
-    public_inputs = np.concatenate(
-        [[1], seg["pk_ntt"][0], seg["hm_ntt"][0]]
-    ).astype(object)
-    assignment = np.concatenate([public_inputs, wit[0]])[None]
+    public_inputs = [1] + [int(v) for v in seg["pk_ntt"][0]] + [
+        int(v) for v in seg["hm_ntt"][0]
+    ]
+    assignment = public_inputs + [int(v) for v in wit[0]]
 
-    # "verify": the R1CS satisfiability check on device
+    # fast sanity: the R1CS satisfiability check on device
     rs = ResidueSystem(compiled)
-    ok = rs.is_satisfied(assignment)
-    print(f"R1CS satisfied: {bool(ok[0])}")
+    arr = np.asarray(assignment, dtype=object)[None]
+    ok = rs.is_satisfied(arr)
+    print(f"R1CS satisfied (device CRT check): {bool(ok[0])}")
     assert ok[0]
+
+    # Groth16 setup (pok_sig.rs:30-32) — CRS cached beside the R1CS
+    crs_path = cache_dir() / f"{FalconNTTVerificationCircuit.__name__}_{params.n}.pk.npz"
+    t0 = time.time()
+    if crs_path.exists():
+        pk = load_pk(crs_path)
+        print(f"CRS load (cached): {time.time()-t0:.2f}s")
+    else:
+        pk = setup(compiled)
+        save_pk(pk, crs_path)
+        print(f"Groth16 setup: {time.time()-t0:.2f}s")
+
+    # prove (pok_sig.rs:36-37)
+    t0 = time.time()
+    proof = prove(pk, compiled, assignment)
+    print(f"Groth16 prove: {time.time()-t0:.2f}s")
+
+    # verify (pok_sig.rs:39-47)
+    t0 = time.time()
+    assert verify(pk.vk, public_inputs, proof)
+    print(f"Groth16 verify: OK {time.time()-t0:.2f}s")
+
+    bad = list(public_inputs)
+    bad[1] = (bad[1] + 1) % params.q
+    assert not verify(pk.vk, bad, proof)
+    print("tampered public input rejected")
 
 
 if __name__ == "__main__":

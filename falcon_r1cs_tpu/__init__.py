@@ -20,7 +20,10 @@ from .gadgets import __all__ as _gadgets_all
 from .params import FALCON_1024, FALCON_512, FIELD_MODULUS, Q, FalconParams, get_params
 from .r1cs import Boolean, ConstraintSystem, FpVar, SynthesisError
 
-__version__ = "0.1.0"
+# SNARK layer (ark-groth16 equivalent) is imported lazily by most users:
+#   from falcon_r1cs_tpu.snark import setup, prove, verify
+
+__version__ = "0.2.0"
 
 __all__ = [
     "Boolean",

@@ -52,6 +52,7 @@ from .bls12_381 import (
     multi_pairing,
     FQ12_ONE,
 )
+from .points import G1Array, G2Array
 from .qap import matrices_at_tau, witness_map
 
 
@@ -61,7 +62,7 @@ class VerifyingKey:
     beta_g2: tuple
     gamma_g2: tuple
     delta_g2: tuple
-    ic: list  # [(beta u_i + alpha v_i + w_i)/gamma]_1 per instance wire
+    ic: G1Array  # [(beta u_i + alpha v_i + w_i)/gamma]_1 per instance wire
 
 
 @dataclass
@@ -69,11 +70,11 @@ class ProvingKey:
     vk: VerifyingKey
     beta_g1: tuple
     delta_g1: tuple
-    a_query: list     # [u_i(t)]_1, all wires (None = point at infinity)
-    b_g1_query: list  # [v_i(t)]_1
-    b_g2_query: list  # [v_i(t)]_2
-    h_query: list     # [t^i Z(t)/delta]_1, i < domain_size - 1
-    l_query: list     # [(beta u_i + alpha v_i + w_i)/delta]_1, witness wires
+    a_query: G1Array     # [u_i(t)]_1, all wires
+    b_g1_query: G1Array  # [v_i(t)]_1
+    b_g2_query: G2Array  # [v_i(t)]_2
+    h_query: G1Array     # [t^i Z(t)/delta]_1, i < domain_size - 1
+    l_query: G1Array     # [(beta u_i + alpha v_i + w_i)/delta]_1, witness
 
 
 @dataclass
@@ -141,10 +142,14 @@ def setup(compiled, toxic: SetupToxic | None = None, use_native: bool = True,
         t2 = msm.g2_fixed_base(G2_GEN)
 
         def fb1(scalars):
-            return msm.g1_normalize_batch(t1.mul_batch(scalars))
+            return G1Array.from_affine_list(
+                msm.g1_normalize_batch(t1.mul_batch(scalars))
+            )
 
         def fb2(scalars):
-            return msm.g2_normalize_batch(t2.mul_batch(scalars))
+            return G2Array.from_affine_list(
+                msm.g2_normalize_batch(t2.mul_batch(scalars))
+            )
 
         a_query = fb1(u)
         b_g1_query = fb1(v)
@@ -195,11 +200,11 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
         g1msm, g2msm = native.g1_msm, native.g2_msm
     else:
         def g1msm(points, scalars):
-            pts, sc = _strip(points, scalars)
+            pts, sc = _strip(points.to_affine_list(), scalars)
             return g1_to_affine(msm.g1_msm([g1_from_affine(p) for p in pts], sc))
 
         def g2msm(points, scalars):
-            pts, sc = _strip(points, scalars)
+            pts, sc = _strip(points.to_affine_list(), scalars)
             return g2_to_affine(msm.g2_msm([g2_from_affine(p) for p in pts], sc))
 
     ga = g1msm(pk.a_query, z)
@@ -295,3 +300,79 @@ def _native():
         return native_backend if native_backend.available() else None
     except ImportError:
         return None
+
+
+# --- CRS serialization ----------------------------------------------------
+
+
+def save_pk(pk: ProvingKey, path) -> None:
+    """Persist a proving key (CRS) as an npz artifact (no pickle)."""
+    import numpy as np
+
+    from .points import ints_to_limbs
+
+    def g1_one(pt):
+        return ints_to_limbs([pt[0], pt[1]], 6)
+
+    def g2_one(pt):
+        (x0, x1), (y0, y1) = pt
+        return ints_to_limbs([x0, x1, y0, y1], 6)
+
+    data = {
+        "alpha_g1": g1_one(pk.vk.alpha_g1),
+        "beta_g2": g2_one(pk.vk.beta_g2),
+        "gamma_g2": g2_one(pk.vk.gamma_g2),
+        "delta_g2": g2_one(pk.vk.delta_g2),
+        "beta_g1": g1_one(pk.beta_g1),
+        "delta_g1": g1_one(pk.delta_g1),
+    }
+    for name in ("ic", "a_query", "b_g1_query", "b_g2_query", "h_query",
+                 "l_query"):
+        arr = pk.vk.ic if name == "ic" else getattr(pk, name)
+        data[f"{name}_xs"] = arr.xs
+        data[f"{name}_ys"] = arr.ys
+        data[f"{name}_inf"] = arr.inf
+    np.savez_compressed(path, **data)
+
+
+def load_pk(path) -> ProvingKey:
+    import numpy as np
+
+    from .points import limbs_to_int
+
+    def g1_one(a):
+        return (limbs_to_int(a[0]), limbs_to_int(a[1]))
+
+    def g2_one(a):
+        return (
+            (limbs_to_int(a[0]), limbs_to_int(a[1])),
+            (limbs_to_int(a[2]), limbs_to_int(a[3])),
+        )
+
+    with np.load(path) as z:
+        arrays = {}
+        for name, cls in (
+            ("ic", G1Array), ("a_query", G1Array), ("b_g1_query", G1Array),
+            ("b_g2_query", G2Array), ("h_query", G1Array),
+            ("l_query", G1Array),
+        ):
+            arrays[name] = cls(
+                z[f"{name}_xs"], z[f"{name}_ys"], z[f"{name}_inf"]
+            )
+        vk = VerifyingKey(
+            alpha_g1=g1_one(z["alpha_g1"]),
+            beta_g2=g2_one(z["beta_g2"]),
+            gamma_g2=g2_one(z["gamma_g2"]),
+            delta_g2=g2_one(z["delta_g2"]),
+            ic=arrays["ic"],
+        )
+        return ProvingKey(
+            vk=vk,
+            beta_g1=g1_one(z["beta_g1"]),
+            delta_g1=g1_one(z["delta_g1"]),
+            a_query=arrays["a_query"],
+            b_g1_query=arrays["b_g1_query"],
+            b_g2_query=arrays["b_g2_query"],
+            h_query=arrays["h_query"],
+            l_query=arrays["l_query"],
+        )

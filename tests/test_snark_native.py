@@ -1,0 +1,181 @@
+"""Native C Groth16 backend (native/groth16_native.c) vs pure Python.
+
+Every exported primitive is checked limb-for-limb against the reference
+implementations in snark/{msm,fr,qap}.py, then the full falcon-512
+setup->prove->verify pipeline runs natively (the reference's pok_sig.rs
+flow, /root/reference/falcon-r1cs/examples/pok_sig.rs:30-47).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from falcon_r1cs_tpu.r1cs.coo import CompiledR1CS
+from falcon_r1cs_tpu.r1cs.system import ConstraintSystem
+from falcon_r1cs_tpu.snark import bls12_381 as bls
+from falcon_r1cs_tpu.snark import fr, msm
+from falcon_r1cs_tpu.snark.groth16 import (
+    SetupToxic,
+    load_pk,
+    prove,
+    save_pk,
+    setup,
+    verify,
+)
+from falcon_r1cs_tpu.snark.points import G1Array, G2Array, ints_to_limbs, limbs_to_int
+from falcon_r1cs_tpu.snark.qap import witness_map
+
+nb = pytest.importorskip("falcon_r1cs_tpu.snark.native_backend")
+if not nb.available():
+    pytest.skip("native groth16 backend unavailable", allow_module_level=True)
+
+rng = random.Random(42)
+
+
+def test_fixed_base_matches_python():
+    scalars = [rng.randrange(bls.R) for _ in range(25)] + [0, 1, bls.R - 1]
+    t1 = msm.g1_fixed_base(bls.G1_GEN)
+    ref = msm.g1_normalize_batch(t1.mul_batch(scalars))
+    assert nb.g1_fixed_base_batch(scalars).to_affine_list() == ref
+    t2 = msm.g2_fixed_base(bls.G2_GEN)
+    ref2 = msm.g2_normalize_batch(t2.mul_batch(scalars))
+    assert nb.g2_fixed_base_batch(scalars).to_affine_list() == ref2
+
+
+def test_msm_matches_python():
+    scalars = [rng.randrange(bls.R) for _ in range(40)]
+    pts = msm.g1_normalize_batch(
+        msm.g1_fixed_base(bls.G1_GEN).mul_batch(scalars)
+    )
+    msc = [rng.randrange(bls.R) for _ in range(len(pts))]
+    ref = bls.g1_to_affine(
+        msm.g1_msm([bls.g1_from_affine(p) for p in pts], msc)
+    )
+    assert nb.g1_msm(G1Array.from_affine_list(pts), msc) == ref
+    pts2 = msm.g2_normalize_batch(
+        msm.g2_fixed_base(bls.G2_GEN).mul_batch(scalars[:10])
+    )
+    msc2 = msc[:10]
+    ref2 = bls.g2_to_affine(
+        msm.g2_msm([bls.g2_from_affine(p) for p in pts2], msc2)
+    )
+    assert nb.g2_msm(G2Array.from_affine_list(pts2), msc2) == ref2
+
+
+def test_msm_zero_scalars_and_infinity_points():
+    pts = msm.g1_normalize_batch(
+        msm.g1_fixed_base(bls.G1_GEN).mul_batch([5, 7, 9])
+    )
+    pts.append(None)
+    assert nb.g1_msm(G1Array.from_affine_list(pts), [0, 0, 0, 3]) is None
+    one = nb.g1_msm(G1Array.from_affine_list(pts), [1, 0, 0, 99])
+    assert one == pts[0]
+
+
+def test_fft_matches_python():
+    dom = fr.Domain(500)  # 512
+    vals = [rng.randrange(bls.R) for _ in range(dom.size)]
+    got = nb.fr_fft(ints_to_limbs(vals, 4), dom.omega, inverse=False)
+    assert [limbs_to_int(r) for r in got] == dom.fft(vals)
+    back = nb.fr_fft(got, dom.omega_inv, inverse=True)
+    assert [limbs_to_int(r) for r in back] == vals
+
+
+def test_scale_powers_and_quotient():
+    n = 64
+    vals = [rng.randrange(bls.R) for _ in range(n)]
+    a = nb.fr_scale_powers(ints_to_limbs(vals, 4), 5, invert=False)
+    expect = [v * pow(5, i, bls.R) % bls.R for i, v in enumerate(vals)]
+    assert [limbs_to_int(r) for r in a] == expect
+    back = nb.fr_scale_powers(a, 5, invert=True)
+    assert [limbs_to_int(r) for r in back] == vals
+    b = [rng.randrange(bls.R) for _ in range(n)]
+    c = [rng.randrange(bls.R) for _ in range(n)]
+    zinv = pow(1234567, -1, bls.R)
+    q = nb.fr_quotient(
+        ints_to_limbs(vals, 4), ints_to_limbs(b, 4), ints_to_limbs(c, 4), zinv
+    )
+    expect = [(x * y - z) % bls.R * zinv % bls.R for x, y, z in zip(vals, b, c)]
+    assert [limbs_to_int(r) for r in q] == expect
+
+
+def _toy():
+    cs = ConstraintSystem(mode="prove")
+    x = cs.new_witness_variable(3)
+    out = cs.new_input_variable(35)
+    x2 = cs.new_witness_variable(9)
+    x3 = cs.new_witness_variable(27)
+    cs.enforce_constraint({x: 1}, {x: 1}, {x2: 1})
+    cs.enforce_constraint({x2: 1}, {x: 1}, {x3: 1})
+    cs.enforce_constraint({x3: 1, x: 1, 0: 5}, {0: 1}, {out: 1})
+    return CompiledR1CS.from_cs(cs), [1, 35, 3, 9, 27]
+
+
+def test_witness_map_matches_python():
+    compiled, z = _toy()
+    h_ref, top_ref = witness_map(compiled, z)
+    h_nat, top_nat = nb.witness_map(compiled, z)
+    assert top_nat == top_ref == 0
+    assert [limbs_to_int(r) for r in h_nat] == h_ref
+
+
+def test_native_groth16_identical_to_python():
+    compiled, z = _toy()
+    tox = SetupToxic(tau=101, alpha=102, beta=103, gamma=104, delta=105)
+    pk_n = setup(compiled, toxic=tox, use_native=True)
+    pk_p = setup(compiled, toxic=tox, use_native=False)
+    for name in ("a_query", "b_g1_query", "h_query", "l_query"):
+        assert getattr(pk_n, name).to_affine_list() == getattr(
+            pk_p, name
+        ).to_affine_list()
+    assert pk_n.b_g2_query.to_affine_list() == pk_p.b_g2_query.to_affine_list()
+    assert pk_n.vk.ic.to_affine_list() == pk_p.vk.ic.to_affine_list()
+    proof_n = prove(pk_n, compiled, z, r=7, s=8, use_native=True)
+    proof_p = prove(pk_p, compiled, z, r=7, s=8, use_native=False)
+    assert proof_n == proof_p
+    assert verify(pk_n.vk, [1, 35], proof_n)
+
+
+def test_pk_save_load_roundtrip(tmp_path):
+    compiled, z = _toy()
+    pk = setup(compiled, toxic=SetupToxic(3, 4, 5, 6, 7))
+    path = tmp_path / "toy.pk.npz"
+    save_pk(pk, path)
+    pk2 = load_pk(path)
+    assert pk2.vk.alpha_g1 == pk.vk.alpha_g1
+    assert pk2.vk.beta_g2 == pk.vk.beta_g2
+    assert pk2.h_query.to_affine_list() == pk.h_query.to_affine_list()
+    proof = prove(pk2, compiled, z, r=1, s=2)
+    assert verify(pk2.vk, [1, 35], proof)
+
+
+@pytest.mark.slow
+def test_falcon512_groth16_end_to_end():
+    """The reference pok_sig capability on the real 512 circuit."""
+    import falcon_r1cs_tpu as frm
+    from falcon_r1cs_tpu.falcon import make_instance, ntt
+    from falcon_r1cs_tpu.params import FALCON_512
+    from falcon_r1cs_tpu.r1cs.coo import compile_circuit
+    from falcon_r1cs_tpu.witness import interleave_witness, jitted_engine
+
+    nprng = np.random.default_rng(0)
+    inst = make_instance(nprng, frm.get_params(512))
+    compiled = compile_circuit(frm.FalconNTTVerificationCircuit, inst)
+    sig = inst.sig_lifted[None].astype(np.int32)
+    pk_ntt = ntt(inst.h)[None].astype(np.int32)
+    hm_ntt = ntt(inst.hm)[None].astype(np.int32)
+    run = jitted_engine(FALCON_512.n)
+    seg = {k: np.asarray(v) for k, v in run(sig, pk_ntt, hm_ntt).items()}
+    wit = interleave_witness(seg, FALCON_512)
+    public_inputs = [1] + [int(v) for v in seg["pk_ntt"][0]] + [
+        int(v) for v in seg["hm_ntt"][0]
+    ]
+    assignment = public_inputs + [int(v) for v in wit[0]]
+
+    pk = setup(compiled)
+    proof = prove(pk, compiled, assignment)
+    assert verify(pk.vk, public_inputs, proof)
+    bad = list(public_inputs)
+    bad[1] = (bad[1] + 1) % 12289
+    assert not verify(pk.vk, bad, proof)
