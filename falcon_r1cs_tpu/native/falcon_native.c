@@ -144,19 +144,160 @@ static void hash_to_point_one(const uint8_t *nonce, long nonce_len,
     }
 }
 
+/* ------------------------------------------------------------------ */
+/* 8-lane SIMD Keccak (GCC vector extensions: AVX-512 = one register,  */
+/* AVX2 = two).  Eight messages advance through the permutation        */
+/* simultaneously; the data-dependent rejection loop stays scalar per  */
+/* lane over the squeezed buffers, with a scalar top-up continuation   */
+/* for the (\~1e-20) case a lane exhausts its squeeze budget.          */
+/* ------------------------------------------------------------------ */
+
+typedef uint64_t v8u64 __attribute__((vector_size(64), aligned(64)));
+
+#define VLANES 8
+
+static inline v8u64 vrotl64(v8u64 x, int n) {
+    return (x << n) | (x >> (64 - n));
+}
+
+static void keccak_f1600_x8(v8u64 s[25]) {
+    static const int rho[24] = {1,  3,  6,  10, 15, 21, 28, 36,
+                                45, 55, 2,  14, 27, 41, 56, 8,
+                                25, 43, 62, 18, 39, 61, 20, 44};
+    static const int pi[24] = {10, 7,  11, 17, 18, 3,  5,  16,
+                               8,  21, 24, 4,  15, 23, 19, 13,
+                               12, 2,  20, 14, 22, 9,  6,  1};
+    v8u64 bc[5], t;
+    for (int round = 0; round < 24; round++) {
+        for (int i = 0; i < 5; i++)
+            bc[i] = s[i] ^ s[i + 5] ^ s[i + 10] ^ s[i + 15] ^ s[i + 20];
+        for (int i = 0; i < 5; i++) {
+            t = bc[(i + 4) % 5] ^ vrotl64(bc[(i + 1) % 5], 1);
+            for (int j = 0; j < 25; j += 5) s[j + i] ^= t;
+        }
+        t = s[1];
+        for (int i = 0; i < 24; i++) {
+            int j = pi[i];
+            bc[0] = s[j];
+            s[j] = vrotl64(t, rho[i]);
+            t = bc[0];
+        }
+        for (int j = 0; j < 25; j += 5) {
+            for (int i = 0; i < 5; i++) bc[i] = s[j + i];
+            for (int i = 0; i < 5; i++)
+                s[j + i] = bc[i] ^ ((~bc[(i + 1) % 5]) & bc[(i + 2) % 5]);
+        }
+        s[0] ^= RC[round]; /* scalar broadcasts across lanes */
+    }
+}
+
+/* Rejection-sample n coefficients from a squeezed byte buffer.
+ * Returns count filled (== n unless the buffer ran dry). */
+static long reject_from_buf(const uint8_t *buf, long buf_len, int32_t *out,
+                            long n) {
+    long filled = 0;
+    for (long i = 0; i + 1 < buf_len && filled < n; i += 2) {
+        unsigned t = ((unsigned)buf[i] << 8) | buf[i + 1];
+        if (t < ACCEPT_BOUND) out[filled++] = (int32_t)(t % Q);
+    }
+    return filled;
+}
+
+/* Scalar continuation for a lane whose budget ran dry: state is the
+ * post-last-extraction Keccak state. */
+static void h2p_topup(uint64_t s[25], int32_t *out, long filled, long n) {
+    uint8_t block[RATE];
+    while (filled < n) {
+        keccak_f1600(s);
+        memcpy(block, s, RATE); /* little-endian host */
+        for (int i = 0; i + 1 < RATE && filled < n; i += 2) {
+            unsigned t = ((unsigned)block[i] << 8) | block[i + 1];
+            if (t < ACCEPT_BOUND) out[filled++] = (int32_t)(t % Q);
+        }
+    }
+}
+
+/* Eight single-absorb-block messages at once. blocks: 8 x RATE padded
+ * absorb blocks.  squeeze_blocks chosen by the caller (>= 1). */
+static void hash_to_point_x8(const uint8_t blocks[VLANES][RATE],
+                             int32_t *outs[VLANES], long n,
+                             long squeeze_blocks) {
+    v8u64 s[25];
+    memset(s, 0, sizeof(s));
+    for (int w = 0; w < RATE / 8; w++) {
+        for (int l = 0; l < VLANES; l++) {
+            uint64_t word;
+            memcpy(&word, blocks[l] + 8 * w, 8);
+            s[w][l] ^= word;
+        }
+    }
+    keccak_f1600_x8(s);
+    /* squeeze into per-lane buffers */
+    uint8_t buf[VLANES][64 * RATE]; /* squeeze_blocks <= 64 by budget rule */
+    for (long b = 0; b < squeeze_blocks; b++) {
+        if (b) keccak_f1600_x8(s);
+        for (int w = 0; w < RATE / 8; w++) {
+            for (int l = 0; l < VLANES; l++) {
+                uint64_t word = s[w][l];
+                memcpy(buf[l] + b * RATE + 8 * w, &word, 8);
+            }
+        }
+    }
+    for (int l = 0; l < VLANES; l++) {
+        long filled =
+            reject_from_buf(buf[l], squeeze_blocks * RATE, outs[l], n);
+        if (filled < n) { /* astronomically rare */
+            uint64_t sl[25];
+            for (int w = 0; w < 25; w++) sl[w] = s[w][l];
+            h2p_topup(sl, outs[l], filled, n);
+        }
+    }
+}
+
 /* Batched entry point.
  * msgs: concatenated message bytes; msg_offsets: batch+1 offsets.
  * nonces: batch * nonce_len bytes.  out: batch * n int32.
+ *
+ * Messages whose nonce+msg fits one absorb block (the Falcon case:
+ * 40-byte nonce + short message) go through the 8-lane SIMD path in
+ * groups of 8; everything else falls back to the scalar path.
  */
 void hash_to_point_batch(const uint8_t *msgs, const int64_t *msg_offsets,
                          const uint8_t *nonces, long nonce_len, int32_t *out,
                          long batch, long n) {
+    /* squeeze budget: expected bytes = 2n/0.9376 ~= 2.133n; 2.5n gives a
+     * >10-sigma margin, topped up scalar-ly in the tail case */
+    long squeeze_blocks = (5 * n / 2 + RATE - 1) / RATE + 1;
+    if (squeeze_blocks > 64) squeeze_blocks = 64;
 #pragma omp parallel for schedule(dynamic)
-    for (long b = 0; b < batch; b++) {
-        hash_to_point_one(nonces + b * nonce_len, nonce_len,
-                          msgs + msg_offsets[b],
-                          msg_offsets[b + 1] - msg_offsets[b], out + b * n,
-                          n);
+    for (long g = 0; g < (batch + VLANES - 1) / VLANES; g++) {
+        long b0 = g * VLANES;
+        long b1 = b0 + VLANES < batch ? b0 + VLANES : batch;
+        int vec_ok = (b1 - b0) == VLANES;
+        for (long b = b0; vec_ok && b < b1; b++)
+            if (nonce_len + (msg_offsets[b + 1] - msg_offsets[b]) >= RATE)
+                vec_ok = 0;
+        if (vec_ok) {
+            uint8_t blocks[VLANES][RATE];
+            int32_t *outs[VLANES];
+            for (long b = b0; b < b1; b++) {
+                int l = (int)(b - b0);
+                long mlen = msg_offsets[b + 1] - msg_offsets[b];
+                memset(blocks[l], 0, RATE);
+                memcpy(blocks[l], nonces + b * nonce_len, nonce_len);
+                memcpy(blocks[l] + nonce_len, msgs + msg_offsets[b], mlen);
+                blocks[l][nonce_len + mlen] ^= 0x1F;
+                blocks[l][RATE - 1] ^= 0x80;
+                outs[l] = out + b * n;
+            }
+            hash_to_point_x8(blocks, outs, n, squeeze_blocks);
+        } else {
+            for (long b = b0; b < b1; b++)
+                hash_to_point_one(nonces + b * nonce_len, nonce_len,
+                                  msgs + msg_offsets[b],
+                                  msg_offsets[b + 1] - msg_offsets[b],
+                                  out + b * n, n);
+        }
     }
 }
 
