@@ -87,3 +87,87 @@ def ntt_sharded(mesh: Mesh, params: FalconParams, axis: str = "coeff"):
         out_specs=P(None, axis),
     )
     return jax.jit(fn)
+
+
+def ntt_with_hints_local(x, axis: str, params: FalconParams, D: int):
+    """Shard-local bound-tracked NTT with quotient hints (call INSIDE
+    shard_map, coefficient axis sharded over `axis`; D = static shard
+    count of that axis, from mesh.shape).
+
+    The sequence-parallel twin of ops/ntt_limb.ntt_with_hints: the first
+    log2(D) butterfly stages exchange whole limb blocks with the partner
+    shard via lax.ppermute (per-shard scalar twiddles), the remaining
+    stages are local with the same vectorized reshape butterflies; limb
+    arithmetic (semi-normalized carries, neg_v bound constants, final
+    normalize + divmod) is identical, so the (t, b) witness outputs are
+    bit-equal to the single-device engine.
+
+    x: (B, w) int32 local coefficient block, w = n / D.
+    Returns (t_limbs (L, B, w), b (B, w)) local blocks.
+    """
+    from ..ops.limbs import (
+        NUM_LIMBS,
+        divmod_q as limb_divmod_q,
+        from_small,
+        int_to_limbs,
+        normalize,
+    )
+    from ..ops.ntt_limb import _SEMI_LIMBS, _semi_norm
+
+    n, log_n = params.n, params.log_n
+    if n % D:
+        raise ValueError(f"coeff axis size {D} must divide n={n}")
+    log_d = D.bit_length() - 1
+    if 1 << log_d != D:
+        raise ValueError(f"coeff axis size {D} must be a power of two")
+    w = n // D
+    L = _SEMI_LIMBS
+    table = np.asarray(params.ntt_table, dtype=np.int32)
+    bounds = [
+        jnp.asarray(int_to_limbs(c, L)) for c in params.const_q_powers
+    ]
+
+    r = jax.lax.axis_index(axis)
+    B = x.shape[0]
+    out = from_small(x.astype(jnp.int32), L)  # (L, B, w)
+
+    # cross-shard stages: the shard lies inside one butterfly group, so
+    # the twiddle is a per-shard scalar and the exchange is one ppermute
+    for l in range(log_d):
+        m = 1 << l
+        dist = D >> (l + 1)
+        other = jax.lax.ppermute(
+            out, axis, [(src, src ^ dist) for src in range(D)]
+        )
+        is_lo = (r & dist) == 0
+        group = r >> (log_d - l)
+        s = jnp.asarray(table)[m + group]
+        c = bounds[l + 1].reshape(L, 1, 1)
+        v_lo = _semi_norm(other * s)         # partner holds the hi half
+        v_hi = _semi_norm(out * s)           # we ARE the hi half
+        out = jnp.where(
+            is_lo,
+            _semi_norm(out + v_lo),          # u + v
+            _semi_norm(other + (c - v_hi)),  # u + neg_v
+        )
+
+    # local stages: identical to ops/ntt_limb with shard-offset twiddles
+    for l in range(log_d, log_n):
+        m = 1 << l
+        half = n >> (l + 1)
+        mloc = m // D
+        o = out.reshape(L, B, mloc, 2, half)
+        u = o[:, :, :, 0, :]
+        hi = o[:, :, :, 1, :]
+        base = m + r * mloc
+        s = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(table), base, mloc
+        ).reshape(1, 1, mloc, 1)
+        v = _semi_norm(hi * s)
+        c = bounds[l + 1].reshape(L, 1, 1, 1)
+        new0 = _semi_norm(u + v)
+        new1 = _semi_norm(u + (c - v))
+        out = jnp.stack([new0, new1], axis=3).reshape(L, B, w)
+
+    t_limbs, b = limb_divmod_q(normalize(out))
+    return t_limbs[:NUM_LIMBS], b

@@ -277,74 +277,37 @@ def generate_witness_ntt(
     )
 
 
-_PALLAS_UNAVAILABLE_MARKERS = (
-    "mosaic", "pallas", "unimplemented", "not implemented",
-    "unsupported", "known backends",
-    "interpret mode",  # "Only interpret mode is supported on CPU backend"
-)
-
-
-def auto_backend(build):
-    """Shared backend policy: try the Pallas build on first call and fall
-    back to the XLA build ONLY when the error indicates Mosaic/Pallas is
-    unavailable on this platform; everything else (OOM, bad shapes,
-    transient device errors) propagates.  Falling back emits a warning."""
-    state = {"impl": build(True), "fallen_back": False}
-
-    def run_auto(*args):
-        try:
-            return state["impl"](*args)
-        except Exception as e:
-            msg = f"{type(e).__name__}: {e}".lower()
-            if state["fallen_back"] or not any(
-                m in msg for m in _PALLAS_UNAVAILABLE_MARKERS
-            ):
-                raise
-            import warnings
-
-            warnings.warn(
-                "Pallas limb-NTT unavailable on this platform; falling "
-                f"back to the XLA path ({type(e).__name__})",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            state["impl"] = build(False)
-            state["fallen_back"] = True
-            return state["impl"](*args)
-
-    return run_auto
-
-
 def jitted_engine(n: int):
     """jit-compiled witness generator for the given parameter set.
 
     Backend policy (utils/config.use_pallas_ntt): True/False are strict;
-    None (default) tries the fused Pallas limb-NTT kernel on first call and
-    falls back to the XLA path if Mosaic is unavailable (e.g. CPU test
-    runs).  The cache is keyed on the configured preference so
-    set_config() changes take effect on the next lookup."""
+    None (default) resolves via the Pallas capability probe
+    (ops/pallas_support.pallas_available — a tiny kernel compiled once per
+    platform), NOT by matching error-message text.  The cache is keyed on
+    (preference, platform) so set_config() changes and platform switches
+    take effect on the next lookup."""
+    import jax as _jax
+
     from ..utils.config import get_config
 
-    return _jitted_engine(n, get_config().use_pallas_ntt)
+    return _jitted_engine(
+        n, get_config().use_pallas_ntt, _jax.default_backend()
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_engine(n: int, pref):
+def _jitted_engine(n: int, pref, platform: str):
+    from ..ops.pallas_support import resolve_backend
+
     params = get_params(n)
+    use_pallas = resolve_backend(pref)
 
-    def build(use_pallas):
-        @jax.jit
-        def run(sig, pk_ntt, hm_ntt):
-            wb = generate_witness_ntt(
-                sig, pk_ntt, hm_ntt, params, use_pallas
-            )
-            return _seg_dict(wb)
+    @jax.jit
+    def run(sig, pk_ntt, hm_ntt):
+        wb = generate_witness_ntt(sig, pk_ntt, hm_ntt, params, use_pallas)
+        return _seg_dict(wb)
 
-        return run
-
-    if pref is not None:
-        return build(pref)
-    return auto_backend(build)
+    return run
 
 
 def _seg_dict(wb):

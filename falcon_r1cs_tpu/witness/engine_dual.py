@@ -126,29 +126,28 @@ def generate_witness_dual(
 
 
 def jitted_engine_dual(n: int):
-    """Backend policy identical to engine.jitted_engine (shared
-    auto_backend helper); cache keyed on the configured preference."""
+    """Backend policy identical to engine.jitted_engine (capability-probe
+    resolution); cache keyed on (preference, platform)."""
+    import jax as _jax
+
     from ..utils.config import get_config
 
-    return _jitted_engine_dual(n, get_config().use_pallas_ntt)
+    return _jitted_engine_dual(
+        n, get_config().use_pallas_ntt, _jax.default_backend()
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_engine_dual(n: int, pref):
-    from .engine import auto_backend
+def _jitted_engine_dual(n: int, pref, platform: str):
+    from ..ops.pallas_support import resolve_backend
 
     params = get_params(n)
-
-    def build(use_pallas):
-        return jax.jit(
-            lambda sig, pk, hm: generate_witness_dual(
-                sig, pk, hm, params, use_pallas
-            )
+    use_pallas = resolve_backend(pref)
+    return jax.jit(
+        lambda sig, pk, hm: generate_witness_dual(
+            sig, pk, hm, params, use_pallas
         )
-
-    if pref is not None:
-        return build(pref)
-    return auto_backend(build)
+    )
 
 
 def interleave_witness_dual(seg: dict, params: FalconParams) -> np.ndarray:

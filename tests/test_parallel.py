@@ -27,9 +27,12 @@ def test_ntt_sharded_matches_clear(rng, d, params):
     assert np.array_equal(np.asarray(f(x)), ntt(x))
 
 
-def test_sharded_engine_matches_single_device(rng):
+@pytest.mark.parametrize("batch_axis", [8, 4, 2, 1])
+def test_sharded_engine_matches_single_device(rng, batch_axis):
+    """Every (batch, coeff) factorization of the 8-device mesh — including
+    the pure sequence-parallel coeff=8 — is bit-equal to one device."""
     n = 512
-    mesh = make_mesh(8, batch_axis=4)
+    mesh = make_mesh(8, batch_axis=batch_axis)
     batch = 8
     sig = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
     pk = rng.integers(0, Q, size=(batch, n), dtype=np.int32)
@@ -41,6 +44,71 @@ def test_sharded_engine_matches_single_device(rng):
         assert np.array_equal(
             np.asarray(out_sharded[k]), np.asarray(out_local[k])
         ), k
+
+
+def test_sharded_engine_collective_schedule():
+    """The coeff-sharded engine's compiled HLO contains exactly
+    2 * log2(D) collective-permutes (one per cross-shard stage of each of
+    the two hint NTTs) — the explicit ppermute schedule, not GSPMD
+    guesswork."""
+    n = 512
+    mesh = make_mesh(8, batch_axis=1)  # coeff = 8
+    fn = sharded_engine(n, mesh)
+    sig = np.zeros((2, n), np.int32)
+    txt = fn.lower(sig, sig, sig).compile().as_text()
+    assert txt.count("collective-permute(") + txt.count(
+        "collective-permute-start("
+    ) == 2 * 3  # 2 hint NTTs x log2(8) exchange stages
+
+
+def test_sharded_engine_dual_matches_single_device(rng):
+    from falcon_r1cs_tpu.parallel.mesh import sharded_engine_dual
+    from falcon_r1cs_tpu.witness.engine_dual import jitted_engine_dual
+
+    n = 512
+    mesh = make_mesh(8, batch_axis=8)
+    sig = rng.integers(-6144, 6145, size=(8, n)).astype(np.int32)
+    pk = rng.integers(0, Q, size=(8, n), dtype=np.int32)
+    hm = rng.integers(0, Q, size=(8, n), dtype=np.int32)
+    out_sharded = sharded_engine_dual(n, mesh)(sig, pk, hm)
+    out_local = jitted_engine_dual(n)(sig, pk, hm)
+    for k in out_local:
+        assert np.array_equal(
+            np.asarray(out_sharded[k]), np.asarray(out_local[k])
+        ), k
+
+
+def test_sharded_engine_schoolbook_matches_single_device(rng):
+    from falcon_r1cs_tpu.parallel.mesh import sharded_engine_schoolbook
+    from falcon_r1cs_tpu.witness.engine_schoolbook import (
+        jitted_engine_schoolbook,
+    )
+
+    n = 512
+    mesh = make_mesh(8, batch_axis=8)
+    sig = rng.integers(0, Q, size=(8, n), dtype=np.int32)
+    pk = rng.integers(0, Q, size=(8, n), dtype=np.int32)
+    hm = rng.integers(0, Q, size=(8, n), dtype=np.int32)
+    out_sharded = sharded_engine_schoolbook(n, mesh)(sig, pk, hm)
+    out_local = jitted_engine_schoolbook(n)(sig, pk, hm)
+    for k in out_local:
+        assert np.array_equal(
+            np.asarray(out_sharded[k]), np.asarray(out_local[k])
+        ), k
+
+
+def test_pallas_capability_probe():
+    """The probe returns False on CPU (no Mosaic) and is what the engines
+    key their backend on — no error-message matching anywhere."""
+    from falcon_r1cs_tpu.ops.pallas_support import (
+        pallas_available,
+        resolve_backend,
+    )
+
+    assert pallas_available("cpu") is False
+    assert resolve_backend(True) is True
+    assert resolve_backend(False) is False
+    assert resolve_backend(None) is pallas_available(jax.default_backend())
 
 
 def test_scaling_sweep_runs():
