@@ -258,10 +258,14 @@ class SecretKey:
 
 
 def _sample_fg(rng: np.random.Generator, n: int) -> list[int]:
-    """Rounded-Gaussian f/g coefficients, sigma = 1.17 sqrt(q / 2n) (the
-    Falcon keygen distribution up to rounding)."""
-    sigma = 1.17 * math.sqrt(Q / (2 * n))
-    return [int(round(x)) for x in rng.normal(0.0, sigma, size=n)]
+    """Falcon-spec f/g coefficients: each is the sum of 2^(10-logn) exact
+    CDT draws from the base discrete Gaussian D_{Z, 1.17 sqrt(q/2^11)}
+    (falcon/sampler.sample_fg_spec — the spec's mkgauss construction,
+    summed variance (1.17)^2 q/(2n)), replacing the round-1 rounded
+    normal."""
+    from .sampler import sample_fg_spec
+
+    return sample_fg_spec(rng, n)
 
 
 def _gs_norm_ok(f: list[int], g: list[int], n: int) -> bool:

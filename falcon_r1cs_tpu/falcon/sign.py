@@ -34,18 +34,17 @@ from .keygen import SecretKey
 
 
 def _sample_z(rng: np.random.Generator, center: float, sigma: float) -> float:
-    """Discrete Gaussian over Z with the given center and sigma (rejection
-    from a geometric proposal; exact up to float rounding, ample for
-    Klein sampling at Falcon's sigmas)."""
+    """Discrete Gaussian over Z with the given center and sigma.
+
+    O(1) expected time per draw (Falcon SamplerZ shape: half-Gaussian RCDT
+    base + one exp rejection — falcon/sampler.sample_z_ccs), replacing the
+    round-1 O(sigma)-weight-vector sampler.  Distributional chi-square
+    coverage: tests/test_samplers.py."""
     if sigma < 0.05:
         return float(np.rint(center))
-    # sample by rejection around the center with a wide integer window
-    lo = int(np.floor(center - 10 * sigma))
-    hi = int(np.ceil(center + 10 * sigma))
-    xs = np.arange(lo, hi + 1, dtype=np.float64)
-    w = np.exp(-((xs - center) ** 2) / (2 * sigma * sigma))
-    w /= w.sum()
-    return float(rng.choice(xs, p=w))
+    from .sampler import sample_z_ccs
+
+    return float(sample_z_ccs(rng, center, sigma))
 
 
 def _rot_matrix(p: list[int], n: int) -> np.ndarray:

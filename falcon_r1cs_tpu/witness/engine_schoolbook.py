@@ -93,6 +93,13 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
     m2 = mult_code(d2)
     or_wire = neq1 * neq2
 
+    # validity flag: for in-range inputs (sig, hm in [0, q), pk in [0, q))
+    # the diffs are provably in {0, +q} / {0, -q}; anything else means the
+    # caller fed out-of-range data and the code-expanded multipliers would
+    # silently diverge from the host trace.  (B,) int32, 1 = trustworthy.
+    ok = ((d1 == 0) | (d1 == Q)) & ((d2 == 0) | (d2 == -Q))
+    valid = jnp.all(ok, axis=-1).astype(jnp.int32)
+
     # the main-loop block is kept as separate tensors: concatenating the
     # (B, n, n) product tensor into one (B, n, n+34) array cost a full
     # extra copy of the dominant buffer (~25% of device time)
@@ -117,6 +124,7 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
         "sig": sig, "v_block": v_block,
         "tc": tc, "prods": prods, "c_tail": c_tail, "iseq": iseq,
         "norm": norm_blk, "bound": bound, "pk": pk, "hm": hm,
+        "valid": valid,
     }
 
 

@@ -72,3 +72,21 @@ def test_schoolbook_engine_bit_exact_1024(rng):
     mat = interleave_witness_schoolbook(seg, FALCON_1024)
     host = _host_witness(inst, FalconSchoolBookVerificationCircuit)
     assert [int(x) for x in mat[0]] == host
+
+
+def test_schoolbook_valid_flag(rng):
+    """The validate flag: 1 on in-range inputs, 0 when an out-of-range
+    input would make the code-expanded is_eq multipliers diverge from the
+    host trace (diff outside {0, +-q}; VERDICT round-1 weak item 5)."""
+    from falcon_r1cs_tpu.params import Q
+
+    n = 512
+    sig = rng.integers(0, Q, (2, n)).astype(np.int32)
+    pk = rng.integers(0, Q, (2, n)).astype(np.int32)
+    hm = rng.integers(0, Q, (2, n)).astype(np.int32)
+    out = jitted_engine_schoolbook(n)(sig, pk, hm)
+    assert np.asarray(out["valid"]).tolist() == [1, 1]
+    bad_hm = hm.copy()
+    bad_hm[1, 0] = 5 * Q + 3  # diff becomes 5q: not encodable
+    out2 = jitted_engine_schoolbook(n)(sig, pk, bad_hm)
+    assert np.asarray(out2["valid"]).tolist() == [1, 0]
