@@ -57,11 +57,31 @@ def _stage_tables(params: FalconParams):
     return tw, lo_mask, bounds
 
 
+def _active_limbs(params: FalconParams):
+    """Static per-stage active limb counts.
+
+    After stage l every value is < const_q_powers[l+1] and the stage's
+    intermediates (u + (c - v) before carry masking) are < 2x that, so
+    only ceil((bits+2)/16) limb rows participate; the rows above stay
+    exactly zero from initialization.  This cuts total limb-row work from
+    log_n * L to sum(act) (~40% less for n=1024)."""
+    log_n = params.log_n
+    return [
+        min(
+            NUM_LIMBS,
+            (params.const_q_powers[l + 1].bit_length() + 2 + LIMB_BITS - 1)
+            // LIMB_BITS,
+        )
+        for l in range(log_n)
+    ]
+
+
 def _make_kernel(params: FalconParams):
     n, log_n = params.n, params.log_n
     L = NUM_LIMBS
+    act = _active_limbs(params)
 
-    def kernel(x_ref, tw_ref, lo_ref, bounds_ref, t_ref, b_ref, st_ref, v_ref):
+    def kernel(x_ref, tw_ref, lo_ref, bounds_ref, t_ref, b_ref, st_ref):
         zeros = jnp.zeros_like(x_ref[...])
         st_ref[0] = x_ref[...]
 
@@ -76,25 +96,25 @@ def _make_kernel(params: FalconParams):
             s = tw_ref[l, :]
             lo = (lo_ref[l, :] == 1)[None, :]
 
-            def pass_v(k, carry, _half=half, _s=s, _lo=lo):
+            # single merged pass per stage: the v chain (hi * s) and the
+            # out chain (u + v / u + (c - v)) both run their limb carries
+            # in the same k-sweep, reading each state row once
+            def pass_stage(k, carry, _l=l, _half=half, _s=s, _lo=lo):
+                cv, co = carry
                 sk = st_ref[k]
                 hik = jnp.where(_lo, pltpu.roll(sk, n - _half, 1), sk)
-                tot = hik * _s + carry
-                v_ref[k] = jnp.bitwise_and(tot, LIMB_MASK)
-                return jnp.right_shift(tot, LIMB_BITS)
-
-            jax.lax.fori_loop(0, L, pass_v, zeros)
-
-            def pass_out(k, carry, _l=l, _half=half, _lo=lo):
-                sk = st_ref[k]
                 uk = jnp.where(_lo, sk, pltpu.roll(sk, _half, 1))
+                tv = hik * _s + cv
+                vk = jnp.bitwise_and(tv, LIMB_MASK)
                 ck = bounds_ref[_l + 1, k]
-                vk = v_ref[k]
-                tot = jnp.where(_lo, uk + vk, uk + (ck - vk)) + carry
-                st_ref[k] = jnp.bitwise_and(tot, LIMB_MASK)
-                return jnp.right_shift(tot, LIMB_BITS)
+                to = jnp.where(_lo, uk + vk, uk + (ck - vk)) + co
+                st_ref[k] = jnp.bitwise_and(to, LIMB_MASK)
+                return (
+                    jnp.right_shift(tv, LIMB_BITS),
+                    jnp.right_shift(to, LIMB_BITS),
+                )
 
-            jax.lax.fori_loop(0, L, pass_out, zeros)
+            jax.lax.fori_loop(0, act[l], pass_stage, (zeros, zeros))
 
         # divmod by q from the top limb
         def div(kk, r):
@@ -157,7 +177,6 @@ def _build(n: int, block: int):
                 jax.ShapeDtypeStruct((batch, n), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((NUM_LIMBS, block, n), jnp.int32),
                 pltpu.VMEM((NUM_LIMBS, block, n), jnp.int32),
             ],
         )(x, tw, lo_mask, bounds_arr)

@@ -110,7 +110,9 @@ def sharded_engine(n: int, mesh_key=None):
             "v_ntt_b": P("batch", None),
             "v_ntt_tail": P("batch", None, None),
             "pointwise": P("batch", None, None),
-            "norm": P("batch", None, None),
+            "pointwise_tail": P("batch", None, None),
+            "norm_bits": P("batch", None, None),
+            "norm_vals": P("batch", None, None),
             "bound": P("batch", None),
             "pk_ntt": P("batch", None), "hm_ntt": P("batch", None),
         }
@@ -134,8 +136,11 @@ def sharded_engine(n: int, mesh_key=None):
         "v_ntt_b": P("batch", "coeff"),
         "v_ntt_tail": P("batch", "coeff", None),
         "pointwise": P("batch", "coeff", None),
-        "norm_v": P("batch", "coeff", None),
-        "norm_sig": P("batch", "coeff", None),
+        "pointwise_tail": P("batch", "coeff", None),
+        "norm_bits_v": P("batch", "coeff", None),
+        "norm_bits_sig": P("batch", "coeff", None),
+        "norm_vals_v": P("batch", "coeff", None),
+        "norm_vals_sig": P("batch", "coeff", None),
         "bound": P("batch", None),
         "pk_ntt": P("batch", "coeff"), "hm_ntt": P("batch", "coeff"),
     }
@@ -153,8 +158,11 @@ def sharded_engine(n: int, mesh_key=None):
         # the two coeff-sharded halves in that order
         import jax.numpy as jnp
 
-        seg["norm"] = jnp.concatenate(
-            [seg.pop("norm_v"), seg.pop("norm_sig")], axis=1
+        seg["norm_bits"] = jnp.concatenate(
+            [seg.pop("norm_bits_v"), seg.pop("norm_bits_sig")], axis=1
+        )
+        seg["norm_vals"] = jnp.concatenate(
+            [seg.pop("norm_vals_v"), seg.pop("norm_vals_sig")], axis=1
         )
         return seg
 
@@ -214,14 +222,13 @@ def _make_local_sp_engine(params, d_coeff: int):
         tot = v_b + prod
         t_pw, c_pw = fast_divmod_q(tot)
         pw_bits = _bits(c_pw, 14)
-        pointwise = jnp.concatenate(
-            [prod[..., None], t_pw[..., None], c_pw[..., None], pw_bits,
-             _lt_q_chain(pw_bits)],
-            axis=-1,
+        pointwise = jnp.stack([prod, t_pw, c_pw], axis=-1)
+        pointwise_tail = jnp.concatenate(
+            [pw_bits, _lt_q_chain(pw_bits)], axis=-1
         )
 
-        norm_v, _sel_v, sq_v = _norm_block(v)
-        norm_sig, _sel_s, sq_s = _norm_block(sig)
+        nbits_v, sel_v, sq_v = _norm_block(v)
+        nbits_s, sel_s, sq_s = _norm_block(sig)
         sq = jnp.concatenate([sq_v, sq_s], axis=-1)
         sum_lo = jax.lax.psum(
             jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1), "coeff"
@@ -239,8 +246,10 @@ def _make_local_sp_engine(params, d_coeff: int):
             "sig_ntt_t": sig_t, "sig_ntt_b": sig_b,
             "sig_ntt_tail": sig_tail,
             "v_ntt_t": v_t, "v_ntt_b": v_b, "v_ntt_tail": v_tail,
-            "pointwise": pointwise,
-            "norm_v": norm_v, "norm_sig": norm_sig,
+            "pointwise": pointwise, "pointwise_tail": pointwise_tail,
+            "norm_bits_v": nbits_v, "norm_bits_sig": nbits_s,
+            "norm_vals_v": jnp.stack([sel_v, sq_v], axis=-1),
+            "norm_vals_sig": jnp.stack([sel_s, sq_s], axis=-1),
             "bound": bound,
             "pk_ntt": pk_ntt, "hm_ntt": hm_ntt,
         }

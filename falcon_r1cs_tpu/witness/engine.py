@@ -18,6 +18,12 @@ Witness layout (allocation order of the circuit, per signature; n = N):
                              select | square
   bound          (50 | 52,)  26/27 bits | kary chain | binary chain
 
+Segment tensors split value/bit parts to shrink HBM writes ~2.5x: pure
+bit/boolean tensors (range_v, *_tail, norm_bits, bound) are int8, values
+int32; `pointwise` is stored as [prod|t|c] (n,3) + tail (n,27) and `norm`
+as bits (2n,16) + [select|square] (2n,2); layout.py re-interleaves the
+canonical order above.
+
 Boolean-chain value semantics (see r1cs/wires.py): `or` allocates the NOR
 (1-a)(1-b); `and` allocates the product; kary folds left.
 """
@@ -41,9 +47,13 @@ NORM_W = 18
 
 
 def _bits(x, count):
-    """(...,) int32 -> (..., count) bits, little-endian."""
+    """(...,) int32 -> (..., count) bits, little-endian.
+
+    int8 output: bit and boolean-chain witnesses are the bulk of the
+    engine's HBM writes, and at 1 byte instead of 4 the write-bound tail
+    of the engine shrinks ~3x (BASELINE.md roofline accounting)."""
     shifts = jnp.arange(count, dtype=jnp.int32)
-    return jnp.bitwise_and(x[..., None] >> shifts, 1)
+    return jnp.bitwise_and(x[..., None] >> shifts, 1).astype(jnp.int8)
 
 
 def _lt_q_chain(bits14):
@@ -70,18 +80,18 @@ def _modq_block(t_val, b_val):
 
 def _norm_block(c):
     """is_less_than_6144 + select + square for coeffs c in [0, q):
-    returns (..., 18): 14 bits | nor=b12*b11 | and=(1-b13)(1-nor) |
-    select | square."""
+    returns (bits16 int8, sel, sq) where bits16 = 14 bits | nor=b12*b11 |
+    and=(1-b13)(1-nor); the canonical 18-wide block is
+    [bits16 | select | square]."""
     bits = _bits(c, 14)
     w_nor = bits[..., 12] * bits[..., 11]
-    w_and = (1 - bits[..., 13]) * (1 - w_nor)
+    w_and = ((1 - bits[..., 13]) * (1 - w_nor)).astype(jnp.int8)
     sel = jnp.where(w_and == 1, c, Q - c)
     sq = sel * sel
-    return jnp.concatenate(
-        [bits, w_nor[..., None], w_and[..., None], sel[..., None],
-         sq[..., None]],
-        axis=-1,
-    ), sel, sq
+    bits16 = jnp.concatenate(
+        [bits, w_nor[..., None], w_and[..., None]], axis=-1
+    )
+    return bits16, sel, sq
 
 
 def _nor_prefix(bits):
@@ -186,16 +196,18 @@ class WitnessBatch:
     params: FalconParams
     sig: jnp.ndarray            # (B, n)
     v: jnp.ndarray              # (B, n)
-    range_v: jnp.ndarray        # (B, n, 27)
+    range_v: jnp.ndarray        # (B, n, 27) int8 bits+chain
     sig_ntt_t: jnp.ndarray      # (L, B, n) limbs
     sig_ntt_b: jnp.ndarray      # (B, n)
-    sig_ntt_tail: jnp.ndarray   # (B, n, 27) bits+chain
+    sig_ntt_tail: jnp.ndarray   # (B, n, 27) int8 bits+chain
     v_ntt_t: jnp.ndarray        # (L, B, n)
     v_ntt_b: jnp.ndarray        # (B, n)
-    v_ntt_tail: jnp.ndarray     # (B, n, 27)
-    pointwise: jnp.ndarray      # (B, n, 30)
-    norm: jnp.ndarray           # (B, 2n, 18)
-    bound: jnp.ndarray          # (B, 50|52)
+    v_ntt_tail: jnp.ndarray     # (B, n, 27) int8
+    pointwise: jnp.ndarray      # (B, n, 3) int32 [prod | t | c]
+    pointwise_tail: jnp.ndarray  # (B, n, 27) int8 bits+chain
+    norm_bits: jnp.ndarray      # (B, 2n, 16) int8 bits|nor|and
+    norm_vals: jnp.ndarray      # (B, 2n, 2) int32 [select | square]
+    bound: jnp.ndarray          # (B, 50|52) int8
     pk_ntt: jnp.ndarray         # (B, n) public input
     hm_ntt: jnp.ndarray         # (B, n) public input
 
@@ -238,15 +250,15 @@ def generate_witness_ntt(
     tot = v_b + prod
     t_pw, c_pw = fast_divmod_q(tot)
     pw_bits = _bits(c_pw, 14)
-    pointwise = jnp.concatenate(
-        [prod[..., None], t_pw[..., None], c_pw[..., None], pw_bits,
-         _lt_q_chain(pw_bits)],
-        axis=-1,
+    pointwise = jnp.stack([prod, t_pw, c_pw], axis=-1)
+    pointwise_tail = jnp.concatenate(
+        [pw_bits, _lt_q_chain(pw_bits)], axis=-1
     )
 
     # l2 norm over v || sig
     coeffs = jnp.concatenate([v, sig], axis=-1)  # (B, 2n)
-    norm_blk, _sel, sq = _norm_block(coeffs)
+    norm_bits, sel, sq = _norm_block(coeffs)
+    norm_vals = jnp.stack([sel, sq], axis=-1)
     # exact 37-bit sum in int32 pairs
     sum_lo = jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1)
     sum_hi = jnp.sum(sq >> 16, axis=-1)
@@ -270,7 +282,9 @@ def generate_witness_ntt(
         v_ntt_b=v_b,
         v_ntt_tail=v_tail,
         pointwise=pointwise,
-        norm=norm_blk,
+        pointwise_tail=pointwise_tail,
+        norm_bits=norm_bits,
+        norm_vals=norm_vals,
         bound=bound,
         pk_ntt=pk_ntt,
         hm_ntt=hm_ntt,
@@ -317,6 +331,8 @@ def _seg_dict(wb):
         "sig_ntt_tail": wb.sig_ntt_tail,
         "v_ntt_t": wb.v_ntt_t, "v_ntt_b": wb.v_ntt_b,
         "v_ntt_tail": wb.v_ntt_tail,
-        "pointwise": wb.pointwise, "norm": wb.norm, "bound": wb.bound,
+        "pointwise": wb.pointwise, "pointwise_tail": wb.pointwise_tail,
+        "norm_bits": wb.norm_bits, "norm_vals": wb.norm_vals,
+        "bound": wb.bound,
         "pk_ntt": wb.pk_ntt, "hm_ntt": wb.hm_ntt,
     }

@@ -109,7 +109,10 @@ def generate_witness_schoolbook(sig, pk, hm, params: FalconParams):
 
     # norm over v || sig
     coeffs = jnp.concatenate([v, sig], axis=-1)
-    norm_blk, _sel, sq = _norm_block(coeffs)
+    nbits16, sel, sq = _norm_block(coeffs)
+    norm_blk = jnp.concatenate(
+        [nbits16, sel[..., None], sq[..., None]], axis=-1
+    )  # mixed concat promotes to int32: canonical 18-wide block
     sum_lo = jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1)
     sum_hi = jnp.sum(sq >> 16, axis=-1)
     norm_lo = jnp.bitwise_and(sum_lo, 0xFFFF)

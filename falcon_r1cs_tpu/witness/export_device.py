@@ -46,6 +46,13 @@ def _ntt_layout_indices(n: int):
     take("norm", 18 * 2 * n)
     take("bound", bound_width(params))
     assert base == num_witness(params)
+    # split sub-blocks matching the engine's value/bit segment split
+    pw = idx["pointwise"].reshape(n, 30)
+    idx["pointwise_vals"] = np.ascontiguousarray(pw[:, :3])
+    idx["pointwise_tail"] = np.ascontiguousarray(pw[:, 3:])
+    nb = idx["norm"].reshape(2 * n, 18)
+    idx["norm_bits"] = np.ascontiguousarray(nb[:, :16])
+    idx["norm_vals"] = np.ascontiguousarray(nb[:, 16:])
     # within each (n, 29) mod_q block: slot 0 = t, slot 1 = b, 2.. = tail
     block = idx["sig_ntt"].reshape(n, 29)
     idx["sig_ntt_t"] = np.ascontiguousarray(block[:, 0])
@@ -117,13 +124,13 @@ def packer_dual(n: int):
             plane0 = plane0.at[:, jidx[tk]].set(t32[nm][0])
             plane0 = plane0.at[:, jidx[bk]].set(seg[bk])
             plane0 = plane0.at[:, jidx[tailk].reshape(-1)].set(
-                seg[tailk].reshape(B, -1)
+                seg[tailk].reshape(B, -1).astype(jnp.int32)
             )
         plane0 = plane0.at[:, jidx["pointwise"]].set(
             seg["pointwise"].reshape(B, -1)
         )
         plane0 = plane0.at[:, jidx["norm_sq"]].set(seg["norm_sq"])
-        plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"])
+        plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"].astype(jnp.int32))
         planes = [plane0]
         for k in range(1, NUM_U32):
             pk = jnp.zeros((B, W), jnp.int32)
@@ -183,10 +190,10 @@ def packer_schoolbook(n: int):
         )
         for k in ("tc", "prods", "c_tail", "iseq"):
             plane0 = plane0.at[:, jsub[k].reshape(-1)].set(
-                seg[k].reshape(B, -1)
+                seg[k].reshape(B, -1).astype(jnp.int32)
             )
         plane0 = plane0.at[:, jidx["norm"]].set(seg["norm"].reshape(B, -1))
-        plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"])
+        plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"].astype(jnp.int32))
         planes = []
         for k in range(8):
             pk = plane0 if k == 0 else jnp.zeros((B, W), jnp.int32)
@@ -213,25 +220,35 @@ def packer_ntt(n: int):
         plane0 = plane0.at[:, idx["sig"]].set(seg["sig"])
         plane0 = plane0.at[:, idx["v"]].set(seg["v"])
         plane0 = plane0.at[:, idx["range_v"]].set(
-            seg["range_v"].reshape(B, -1)
+            seg["range_v"].reshape(B, -1).astype(jnp.int32)
         )
         sig_t32 = _limbs16_to_u32(seg["sig_ntt_t"])
         v_t32 = _limbs16_to_u32(seg["v_ntt_t"])
         plane0 = plane0.at[:, idx["sig_ntt_t"]].set(sig_t32[0])
         plane0 = plane0.at[:, idx["sig_ntt_b"]].set(seg["sig_ntt_b"])
         plane0 = plane0.at[:, idx["sig_ntt_tail"].reshape(-1)].set(
-            seg["sig_ntt_tail"].reshape(B, -1)
+            seg["sig_ntt_tail"].reshape(B, -1).astype(jnp.int32)
         )
         plane0 = plane0.at[:, idx["v_ntt_t"]].set(v_t32[0])
         plane0 = plane0.at[:, idx["v_ntt_b"]].set(seg["v_ntt_b"])
         plane0 = plane0.at[:, idx["v_ntt_tail"].reshape(-1)].set(
-            seg["v_ntt_tail"].reshape(B, -1)
+            seg["v_ntt_tail"].reshape(B, -1).astype(jnp.int32)
         )
-        plane0 = plane0.at[:, idx["pointwise"]].set(
+        plane0 = plane0.at[:, idx["pointwise_vals"].reshape(-1)].set(
             seg["pointwise"].reshape(B, -1)
         )
-        plane0 = plane0.at[:, idx["norm"]].set(seg["norm"].reshape(B, -1))
-        plane0 = plane0.at[:, idx["bound"]].set(seg["bound"])
+        plane0 = plane0.at[:, idx["pointwise_tail"].reshape(-1)].set(
+            seg["pointwise_tail"].reshape(B, -1).astype(jnp.int32)
+        )
+        plane0 = plane0.at[:, idx["norm_bits"].reshape(-1)].set(
+            seg["norm_bits"].reshape(B, -1).astype(jnp.int32)
+        )
+        plane0 = plane0.at[:, idx["norm_vals"].reshape(-1)].set(
+            seg["norm_vals"].reshape(B, -1)
+        )
+        plane0 = plane0.at[:, idx["bound"]].set(
+            seg["bound"].astype(jnp.int32)
+        )
 
         planes = [plane0]
         for k in range(1, NUM_U32):

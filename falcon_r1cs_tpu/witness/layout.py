@@ -44,8 +44,22 @@ def interleave_witness(seg: dict, params: FalconParams) -> np.ndarray:
 
     sig_ntt = modq_seg(seg["sig_ntt_t"], seg["sig_ntt_b"], seg["sig_ntt_tail"])
     v_ntt = modq_seg(seg["v_ntt_t"], seg["v_ntt_b"], seg["v_ntt_tail"])
-    pointwise = np.asarray(seg["pointwise"], dtype=object)
-    norm = np.asarray(seg["norm"], dtype=object)
+    # canonical 30-wide pointwise block = [prod, t, c | bits+chain]
+    pointwise = np.concatenate(
+        [
+            np.asarray(seg["pointwise"], dtype=object),
+            np.asarray(seg["pointwise_tail"], dtype=object),
+        ],
+        axis=-1,
+    )
+    # canonical 18-wide norm block = [bits|nor|and | select, square]
+    norm = np.concatenate(
+        [
+            np.asarray(seg["norm_bits"], dtype=object),
+            np.asarray(seg["norm_vals"], dtype=object),
+        ],
+        axis=-1,
+    )
     bound = np.asarray(seg["bound"], dtype=object)
 
     parts = [
