@@ -166,6 +166,20 @@ def bench_constraint_synthesis(n=1024):
     return cs.num_constraints / dt
 
 
+def bench_direct_synthesis(n=1024, trials=3):
+    """Structured direct COO emission rate (schoolbook-n, the largest
+    circuit; bit-identical to the traced matrices — r1cs/direct.py)."""
+    from falcon_r1cs_tpu.r1cs.direct import direct_compile_schoolbook
+
+    compiled = direct_compile_schoolbook(n)  # warm (NTT matrix N/A here)
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        compiled = direct_compile_schoolbook(n)
+        best = max(best, compiled.num_constraints / (time.perf_counter() - t0))
+    return best
+
+
 def bench_hash_to_point(batch=4096, n=1024, trials=5):
     """Best-of-N: this host's CPU clock ramps over seconds under load, so
     single-shot rates under-report by up to ~50x (observed 3.3k -> 174k/s
@@ -317,15 +331,16 @@ def main():
 
     secondary = [
         ("constraints_synthesized_per_sec", bench_constraint_synthesis, 30),
+        ("direct_synthesis_cns_per_sec", bench_direct_synthesis, 30),
         ("hash_to_point_per_sec", lambda: bench_hash_to_point() or 0, 30),
-        ("dual_ntt_witnesses_per_sec", bench_dual, 180),
-        ("schoolbook_witnesses_per_sec", bench_schoolbook, 180),
-        ("pipeline_witnesses_per_sec", bench_pipeline, 120),
         ("groth16_proves_per_sec", bench_groth16, 90),
+        ("dual_ntt_witnesses_per_sec", bench_dual, 150),
+        ("schoolbook_witnesses_per_sec", bench_schoolbook, 150),
+        ("pipeline_witnesses_per_sec", bench_pipeline, 120),
     ]
     for key, fn, cost in secondary:
         if remaining() < cost:
-            break
+            continue  # cheaper later entries may still fit
         try:
             result[key] = round(fn(), 1)
         except Exception as e:  # never let a secondary kill the metric

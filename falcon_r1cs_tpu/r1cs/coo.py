@@ -159,19 +159,37 @@ def cache_dir() -> Path:
     return Path(get_config().artifact_cache)
 
 
-def compile_circuit(circuit_cls, instance, cache: bool = True) -> CompiledR1CS:
-    """Trace a circuit and return (cached) compiled matrices.
+def _direct_builder(name: str):
+    from .direct import direct_compile_schoolbook, direct_compile_verify_ntt
+
+    return {
+        "FalconNTTVerificationCircuit": direct_compile_verify_ntt,
+        "FalconSchoolBookVerificationCircuit": direct_compile_schoolbook,
+    }.get(name)
+
+
+def compile_circuit(
+    circuit_cls, instance, cache: bool = True, use_direct: bool = True
+) -> CompiledR1CS:
+    """Compile a circuit to (cached) COO matrices.
 
     Cache key: circuit class + parameter set (the matrices depend only on
     the shape, mirroring setup-mode synthesis -- SURVEY.md section 3.2).
+    Circuits with a direct structured emitter (r1cs/direct.py) skip the
+    Python trace entirely (10-160x faster, bit-identical — enforced by
+    tests/test_direct_synthesis.py); use_direct=False forces the trace.
     """
     key = f"{circuit_cls.__name__}_{instance.params.n}.r1cs"
     path = cache_dir() / key
     if cache and path.exists():
         return CompiledR1CS.load(path)
-    cs = ConstraintSystem(mode="setup")
-    circuit_cls.build_circuit(instance).generate_constraints(cs)
-    compiled = CompiledR1CS.from_cs(cs)
+    builder = _direct_builder(circuit_cls.__name__) if use_direct else None
+    if builder is not None:
+        compiled = builder(instance.params.n)
+    else:
+        cs = ConstraintSystem(mode="setup")
+        circuit_cls.build_circuit(instance).generate_constraints(cs)
+        compiled = CompiledR1CS.from_cs(cs)
     if cache:
         # populate the limb caches BEFORE persisting so the one-time
         # Python big-int pass really does amortize across processes

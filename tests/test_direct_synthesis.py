@@ -1,0 +1,95 @@
+"""Direct structured COO synthesis (r1cs/direct.py) vs the traced layer.
+
+The contract: bit-IDENTICAL matrices — same rows, cols (within-row in
+encoded-variable order), signed values, counters, and field_rows — for
+every golden circuit, at 10-160x the synthesis rate (VERDICT round-1 item
+7; measured rates in BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+import falcon_r1cs_tpu as fr
+from falcon_r1cs_tpu.falcon import make_instance
+from falcon_r1cs_tpu.r1cs.coo import compile_circuit
+from falcon_r1cs_tpu.r1cs.direct import (
+    direct_compile_schoolbook,
+    direct_compile_verify_ntt,
+    ntt_lc_matrix,
+)
+
+
+def _assert_identical(ref, got):
+    assert (got.num_instance, got.num_witness, got.num_constraints) == (
+        ref.num_instance,
+        ref.num_witness,
+        ref.num_constraints,
+    )
+    assert np.array_equal(ref.field_rows, got.field_rows)
+    for m in ("a", "b", "c"):
+        r, g = getattr(ref, m), getattr(got, m)
+        assert np.array_equal(r[0], g[0]), f"{m} rows"
+        assert np.array_equal(r[1], g[1]), f"{m} cols"
+        assert bool((r[2] == g[2]).all()), f"{m} vals"
+
+
+@pytest.fixture(scope="module")
+def inst512():
+    return make_instance(np.random.default_rng(0), fr.get_params(512))
+
+
+def test_direct_verify_ntt_512_bit_identical(inst512):
+    ref = compile_circuit(
+        fr.FalconNTTVerificationCircuit, inst512, cache=False,
+        use_direct=False,
+    )
+    _assert_identical(ref, direct_compile_verify_ntt(512))
+
+
+def test_direct_schoolbook_512_bit_identical(inst512):
+    ref = compile_circuit(
+        fr.FalconSchoolBookVerificationCircuit, inst512, cache=False,
+        use_direct=False,
+    )
+    _assert_identical(ref, direct_compile_schoolbook(512))
+
+
+@pytest.mark.slow
+def test_direct_1024_bit_identical():
+    inst = make_instance(np.random.default_rng(0), fr.get_params(1024))
+    for cls, builder in (
+        (fr.FalconNTTVerificationCircuit, direct_compile_verify_ntt),
+        (fr.FalconSchoolBookVerificationCircuit, direct_compile_schoolbook),
+    ):
+        ref = compile_circuit(cls, inst, cache=False, use_direct=False)
+        _assert_identical(ref, builder(1024))
+
+
+def test_direct_artifact_satisfiable(inst512):
+    """The direct artifact must accept a real witness assignment (the COO
+    values feed the same satisfiability machinery as the traced one)."""
+    cs = fr.ConstraintSystem(mode="prove")
+    fr.FalconNTTVerificationCircuit.build_circuit(inst512).generate_constraints(cs)
+    compiled = direct_compile_verify_ntt(512)
+    assignment = list(cs.instance_values) + list(cs.witness_values)
+    # spot-check with the exact host oracle on a row subset via residues
+    from falcon_r1cs_tpu.parallel.sat_check import ResidueSystem
+
+    rs = ResidueSystem(compiled)
+    ok = rs.is_satisfied(np.asarray([assignment], dtype=object))
+    assert bool(ok[0])
+
+
+def test_ntt_lc_matrix_row_is_clear_ntt():
+    """Row j of the LC matrix evaluated on actual inputs mod q must equal
+    the clear NTT (the LC value pre-mod is exactly the gadget's unreduced
+    butterfly accumulation)."""
+    from falcon_r1cs_tpu.falcon import ntt
+    from falcon_r1cs_tpu.params import Q
+
+    n = 512
+    M, O = ntt_lc_matrix(n)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, Q, n)
+    for j in (0, 1, 17, 511):
+        val = sum(int(M[j, k]) * int(x[k]) for k in range(n)) + int(O[j])
+        assert val % Q == ntt(x)[j], j
