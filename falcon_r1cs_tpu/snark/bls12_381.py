@@ -522,8 +522,117 @@ def miller_loop(p_aff, q_aff):
     return f
 
 
+def f2_pow(a, e: int):
+    r = FQ2_ONE
+    for bit in bin(e)[2:]:
+        r = f2_sqr(r)
+        if bit == "1":
+            r = f2_mul(r, a)
+    return r
+
+
+# Frobenius on Fq12: for the coefficient of v^i w^j (an Fq2 value c),
+# frob(c v^i w^j) = conj(c) * gamma^(2i+j) * v^i w^j with
+# gamma = xi^((q-1)/6)  (w^6 = v^3 = xi, and q = 1 mod 6).
+_FROB_GAMMA = [FQ2_ONE] + [f2_pow(XI, (P - 1) * k // 6) for k in range(1, 6)]
+
+
+def f12_frobenius(a):
+    """a^q via coefficient conjugation + the precomputed gamma twists;
+    verified against f12_pow(a, P) in tests/test_snark.py."""
+    (c00, c01, c02), (c10, c11, c12) = a
+    g = _FROB_GAMMA
+    return (
+        (
+            f2_conj(c00),
+            f2_mul(f2_conj(c01), g[2]),
+            f2_mul(f2_conj(c02), g[4]),
+        ),
+        (
+            f2_mul(f2_conj(c10), g[1]),
+            f2_mul(f2_conj(c11), g[3]),
+            f2_mul(f2_conj(c12), g[5]),
+        ),
+    )
+
+
+def _fp4_sqr(a, b):
+    """(a + b t)^2 in Fq4 = Fq2[t]/(t^2 - xi): returns (a^2 + xi b^2, 2ab)."""
+    t0 = f2_sqr(a)
+    t1 = f2_sqr(b)
+    c0 = f2_add(t0, f2_mul_xi(t1))
+    c1 = f2_sub(f2_sub(f2_sqr(f2_add(a, b)), t0), t1)
+    return c0, c1
+
+
+def f12_cyclotomic_sqr(x):
+    """Granger-Scott squaring, valid for elements of the cyclotomic
+    subgroup (order q^4 - q^2 + 1, i.e. anything after the easy part of
+    the final exponentiation): three Fq4 squarings instead of a full
+    Fq12 square.  Verified == f12_sqr on cyclotomic elements in tests."""
+    (z0, z4, z3), (z2, z1, z5) = x
+    t0, t1 = _fp4_sqr(z0, z1)
+    z0 = f2_sub(f2_muli(t0, 3), f2_muli(z0, 2))
+    z1 = f2_add(f2_muli(t1, 3), f2_muli(z1, 2))
+    t0b, t1b = _fp4_sqr(z2, z3)
+    t2, t3 = _fp4_sqr(z4, z5)
+    z4 = f2_sub(f2_muli(t0b, 3), f2_muli(z4, 2))
+    z5 = f2_add(f2_muli(t1b, 3), f2_muli(z5, 2))
+    t3x = f2_mul_xi(t3)
+    z2 = f2_add(f2_muli(t3x, 3), f2_muli(z2, 2))
+    z3 = f2_sub(f2_muli(t2, 3), f2_muli(z3, 2))
+    return ((z0, z4, z3), (z2, z1, z5))
+
+
+# hard-part exponent (q^4 - q^2 + 1)/r in base-q digits: the hard part is
+# computed as a 4-way simultaneous exponentiation over the Frobenius
+# conjugates f^(q^i) (Shamir's trick), with cyclotomic squarings.  Digit
+# bit-lengths: 381/254/381/126 -> 381 squarings + ~360 multiplies versus
+# ~2031 squarings + ~1015 multiplies for the one-base naive pow.
+_HARD = (P**4 - P**2 + 1) // R
+assert (P**4 - P**2 + 1) % R == 0
+_HARD_DIGITS = []
+_d = _HARD
+for _ in range(4):
+    _HARD_DIGITS.append(_d % P)
+    _d //= P
+assert _d == 0
+_HARD_BITS = max(d.bit_length() for d in _HARD_DIGITS)
+
+
 def final_exponentiation(f):
-    """f ^ ((q^12 - 1)/r): easy part by conjugation, hard part by pow."""
+    """f ^ ((q^12 - 1)/r), split (q^6-1)(q^2+1) * (q^4-q^2+1)/r:
+    conjugation/Frobenius for the easy factors, then a Frobenius-base
+    multi-exponentiation with Granger-Scott squarings for the hard part
+    (== the naive pow — asserted in tests/test_snark.py)."""
+    f = f12_mul(f12_conj(f), f12_inv(f))          # ^(q^6 - 1)
+    f = f12_mul(f12_frobenius(f12_frobenius(f)), f)  # ^(q^2 + 1)
+    # bases f^(q^i), i = 0..3, and the 15 non-empty subset products
+    bases = [f]
+    for _ in range(3):
+        bases.append(f12_frobenius(bases[-1]))
+    table = [FQ12_ONE] * 16
+    for m in range(1, 16):
+        low = m & -m
+        table[m] = (
+            bases[low.bit_length() - 1]
+            if m == low
+            else f12_mul(table[m ^ low], table[low])
+        )
+    acc = FQ12_ONE
+    for b in range(_HARD_BITS - 1, -1, -1):
+        acc = f12_cyclotomic_sqr(acc)
+        m = 0
+        for i in range(4):
+            m |= ((_HARD_DIGITS[i] >> b) & 1) << i
+        if m:
+            acc = f12_mul(acc, table[m])
+    return acc
+
+
+def final_exponentiation_naive(f):
+    """Reference path: easy part + plain square-and-multiply (kept as the
+    differential oracle for the optimized final_exponentiation)."""
     f = f12_mul(f12_conj(f), f12_inv(f))  # f^(q^6 - 1)
     return f12_pow(f, _FINAL_EXP_HARD)    # ^ (q^6+1)/r
 

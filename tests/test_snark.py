@@ -117,6 +117,26 @@ def test_multi_pairing_cancellation():
     assert out == bls.FQ12_ONE
 
 
+def test_frobenius_is_q_power():
+    a = _rand_fq12()
+    assert bls.f12_frobenius(a) == bls.f12_pow(a, bls.P)
+    assert bls.f12_frobenius(bls.f12_frobenius(a)) == bls.f12_pow(a, bls.P**2)
+
+
+def test_cyclotomic_square_matches_generic():
+    # easy part maps any element into the cyclotomic subgroup
+    a = _rand_fq12()
+    f = bls.f12_mul(bls.f12_conj(a), bls.f12_inv(a))
+    f = bls.f12_mul(bls.f12_frobenius(bls.f12_frobenius(f)), f)
+    assert bls.f12_pow(f, bls.P**4 - bls.P**2 + 1) == bls.FQ12_ONE
+    assert bls.f12_cyclotomic_sqr(f) == bls.f12_sqr(f)
+
+
+def test_final_exponentiation_matches_naive():
+    a = _rand_fq12()
+    assert bls.final_exponentiation(a) == bls.final_exponentiation_naive(a)
+
+
 # --- Fr / FFT -------------------------------------------------------------
 
 
