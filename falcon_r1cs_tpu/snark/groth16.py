@@ -35,8 +35,10 @@ from __future__ import annotations
 import secrets
 from dataclasses import dataclass
 
-from . import msm
+from . import msm, native_backend
 from .bls12_381 import (
+    f12_conj,
+    pairing,
     R,
     G1_GEN,
     G2_GEN,
@@ -178,11 +180,15 @@ def setup(compiled, toxic: SetupToxic | None = None, use_native: bool = True,
 
 
 def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
-          s: int | None = None, use_native: bool = True) -> Proof:
+          s: int | None = None, use_native: bool = True,
+          g1_backend: str = "auto") -> Proof:
     """Create a proof for one full wire assignment (instance ++ witness).
 
     Mirrors `create_random_proof` (pok_sig.rs:37).  r/s override the
-    blinding randomness for deterministic tests.
+    blinding randomness for deterministic tests.  g1_backend selects who
+    runs the G1 MSMs: "auto" (the native C Pippenger when built, else
+    pure Python) or "tpu" (snark/tpu_msm.py — the device scale-out path;
+    G2 MSMs and the witness map still follow use_native).
     """
     if r is None:
         r = secrets.randbelow(R)
@@ -199,13 +205,19 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
     if native is not None:
         g1msm, g2msm = native.g1_msm, native.g2_msm
     else:
+        g1msm = g2msm = None
+    if g1msm is None:
         def g1msm(points, scalars):
             pts, sc = _strip(points.to_affine_list(), scalars)
             return g1_to_affine(msm.g1_msm([g1_from_affine(p) for p in pts], sc))
-
+    if g2msm is None:
         def g2msm(points, scalars):
             pts, sc = _strip(points.to_affine_list(), scalars)
             return g2_to_affine(msm.g2_msm([g2_from_affine(p) for p in pts], sc))
+    if g1_backend == "tpu":
+        from . import tpu_msm
+
+        g1msm = tpu_msm.g1_msm_tpu
 
     ga = g1msm(pk.a_query, z)
     gb1 = g1msm(pk.b_g1_query, z)
@@ -247,22 +259,33 @@ def verify(vk: VerifyingKey, instance, proof: Proof) -> bool:
     inst = [int(x) % R for x in instance]
     if len(inst) != len(vk.ic) or inst[0] != 1:
         return False
-    acc = None
-    for x, pt in zip(inst, vk.ic):
-        if pt is None or x == 0:
-            continue
-        acc = g1_add(acc, g1_mul(g1_from_affine(pt), x))
-    acc_aff = g1_to_affine(acc)
+    acc_aff = None
+    if native_backend.available():
+        acc_aff = native_backend.g1_msm(vk.ic, inst)
+    if acc_aff is None:
+        acc = None
+        for x, pt in zip(inst, vk.ic):
+            if pt is None or x == 0:
+                continue
+            acc = g1_add(acc, g1_mul(g1_from_affine(pt), x))
+        acc_aff = g1_to_affine(acc)
     neg_a = g1_to_affine(g1_neg(g1_from_affine(proof.a)))
+    # e(-A,B) e(alpha,beta) e(acc,gamma) e(C,delta) = 1, with e(alpha,beta)
+    # hoisted out: pairing values are unitary (x^(q^6) = x^-1 in the
+    # cyclotomic subgroup since q^6 = -1 mod q^4-q^2+1), so the cached
+    # inverse is one f12_conj instead of an f12_inv.
+    e_ab_inv = getattr(vk, "_e_ab_inv", None)
+    if e_ab_inv is None:
+        e_ab_inv = f12_conj(pairing(vk.alpha_g1, vk.beta_g2))
+        object.__setattr__(vk, "_e_ab_inv", e_ab_inv)
     result = multi_pairing(
         [
             (neg_a, proof.b),
-            (vk.alpha_g1, vk.beta_g2),
             (acc_aff, vk.gamma_g2),
             (proof.c, vk.delta_g2),
         ]
     )
-    return result == FQ12_ONE
+    return result == e_ab_inv
 
 
 # --- helpers --------------------------------------------------------------
