@@ -1,20 +1,25 @@
-"""Falcon signing: Babai nearest-plane over the NTRU lattice basis.
+"""Falcon signing over the NTRU lattice basis.
 
 Completes the capability the reference gets from falcon-rust's
 `SecretKey::sign_with_seed` (FFI into Falcon C ffSampling; SURVEY.md
-section 2.3).  Signatures here are produced with the DETERMINISTIC
-fast-Babai nearest-plane against the full 2n-dimensional basis
+section 2.3).  Randomized signing (pass an rng) runs the spec's actual
+ffSampling — FFT-basis LDL tree + fast Fourier nearest-plane, O(n log n)
+per signature (falcon/ffsampling.py); a QR-based Klein-GPV engine
+(same distribution, O(n^2)) is kept as the differential oracle.
+
+Deterministic signing (`sign_with_seed`, the mode the circuit tests use)
+is fast-Babai nearest-plane against the full 2n-dimensional basis
 
     B = [[rot(g), rot(-f)], [rot(G), rot(-F)]],   target c = (hm | 0),
 
 using one QR factorization per key (float64) and an O(n^2) reduction per
 message.  Nearest-plane error is +-1/2 per Gram-Schmidt direction, so the
 resulting norms are comfortably below beta^2 (empirically ~10x margin --
-smaller than ffSampling's randomized norms; the randomization in real
-Falcon exists for key privacy under signature exposure, not for validity).
+smaller than ffSampling's randomized norms).
 SECURITY NOTE: deterministic nearest-plane signatures leak the lattice
-Gram-Schmidt directions under many-signature exposure; these are test
-vectors for the verification circuits, not a production signer.
+Gram-Schmidt directions under many-signature exposure; they are test
+vectors for the verification circuits.  Use the randomized ffSampling
+mode when GPV-distributed signatures are required.
 
 Verification-side compatibility is exact: s1 + s2*h = hm (mod q) holds by
 construction for any integer lattice point, so these signatures verify
@@ -68,12 +73,30 @@ class Signature:
 
 
 class Signer:
-    """Per-key signing state: basis + QR, built once."""
+    """Per-key signing state.  Two engines, both lazily built:
+
+    * randomized (rng passed): spec ffSampling — FFT-basis LDL tree +
+      fast Fourier nearest-plane sampling, O(n log n) per signature
+      (falcon/ffsampling.py; the algorithm falcon-rust gets from the
+      Falcon C FFI).  `sampler="klein"` keeps the O(n^2) QR-based
+      Klein-GPV engine, which computes the same distribution (used as
+      the differential oracle in tests/test_ffsampling.py).
+    * deterministic (rng=None): Babai nearest-plane over the QR'd basis
+      (round-to-nearest along each Gram-Schmidt direction).
+    """
 
     def __init__(self, sk: SecretKey):
         self.sk = sk
         self.params = sk.params
-        n = self.params.n
+        self.basis = None
+        self.q_mat = None
+        self.r_mat = None
+        self._ff = None
+
+    def _ensure_qr(self):
+        if self.q_mat is not None:
+            return
+        sk, n = self.sk, self.params.n
         neg = lambda p: [-c for c in p]
         top = np.hstack([_rot_matrix(sk.g, n), _rot_matrix(neg(sk.f), n)])
         bot = np.hstack([_rot_matrix(sk.G, n), _rot_matrix(neg(sk.F), n)])
@@ -82,6 +105,16 @@ class Signer:
         self.q_mat, self.r_mat = np.linalg.qr(self.basis.T)
         if np.any(np.abs(np.diag(self.r_mat)) < 1e-9):
             raise ValueError("degenerate basis")
+
+    def _ensure_ff(self):
+        if self._ff is None:
+            from .ffsampling import FfSampler
+
+            sk = self.sk
+            self._ff = FfSampler(
+                sk.f, sk.g, sk.F, sk.G, self._SIGMA[self.params.n]
+            )
+        return self._ff
 
     def _nearest_plane(self, c: np.ndarray, rng=None, sigma: float = 0.0):
         """Babai nearest-plane / Klein-GPV sampling over the QR'd basis.
@@ -92,6 +125,7 @@ class Signer:
         Gaussian D_{Z, sigma/|b*_i|, c_i} instead of rounded -- which is
         exactly the algorithm Falcon's ffSampling computes in O(n log n);
         signatures are then distribution-correct GPV samples."""
+        self._ensure_qr()
         dim = c.shape[0]
         tq = c @ self.q_mat
         z = np.zeros(dim)
@@ -112,14 +146,28 @@ class Signer:
     _SIGMA = {512: 165.736617183, 1024: 168.388571447}
 
     def sign(
-        self, msg: bytes, nonce: bytes, rng: np.random.Generator | None = None
+        self,
+        msg: bytes,
+        nonce: bytes,
+        rng: np.random.Generator | None = None,
+        sampler: str = "ff",
     ) -> Signature:
         """Sign hm(msg, nonce).  Deterministic nearest-plane by default;
-        pass an rng for randomized Klein-GPV sampling at the spec sigma
-        (distribution-matching ffSampling; retries on the rare norm-bound
-        exceedance like the reference signer)."""
+        pass an rng for randomized GPV sampling at the spec sigma via
+        ffSampling (sampler="ff", O(n log n)) or the QR-based Klein-GPV
+        engine (sampler="klein", O(n^2) — the differential oracle).
+        Retries on the rare norm-bound exceedance like the reference
+        signer."""
         n = self.params.n
         hm = hash_to_point(msg, nonce, n)
+        if rng is not None and sampler == "ff":
+            ff = self._ensure_ff()
+            for _ in range(16):
+                s1, s2 = ff.sample(hm, rng)
+                norm = int(np.sum(s1 * s1) + np.sum(s2 * s2))
+                if norm < self.params.sig_l2_bound:
+                    return Signature(s2=s2, nonce=nonce)
+            raise ValueError(f"signature norm {norm} exceeds bound")
         c = np.concatenate([hm.astype(np.float64), np.zeros(n)])
         sigma = self._SIGMA[n] if rng is not None else 0.0
         for _ in range(8):
