@@ -170,6 +170,67 @@ static void fq_inv(const u64 *a, u64 *o) {
   memcpy(o, acc, NQ * 8);
 }
 
+/* Binary extended-GCD inversion (Montgomery in/out), ~15x cheaper than
+ * the Fermat ladder: for input x = a*R, the integer xgcd gives
+ * x^-1 = a^-1 R^-1 (standard); two R^2 Montgomery muls lift it back to
+ * a^-1 R.  Used by the batch-affine MSM flush where inversion cost sets
+ * the amortized per-point price. */
+static void shr1_carry(u64 *a, u64 top, int n) { /* a = (top:a) >> 1 */
+  for (int i = 0; i < n - 1; i++) a[i] = (a[i] >> 1) | (a[i + 1] << 63);
+  a[n - 1] = (a[n - 1] >> 1) | (top << 63);
+}
+
+static void fq_inv_fast(const u64 *a, u64 *o) {
+  u64 u[NQ], v[NQ], b[NQ], c[NQ];
+  /* u = a as a standard integer (Montgomery rep IS an integer mod q) */
+  memcpy(u, a, NQ * 8);
+  memcpy(v, Q, NQ * 8);
+  memset(b, 0, NQ * 8);
+  b[0] = 1;
+  memset(c, 0, NQ * 8);
+  while (!is_zero_n(u, NQ)) {
+    while (!(u[0] & 1)) {
+      shr1_carry(u, 0, NQ);
+      if (b[0] & 1) { /* b = (b + q)/2 with the carry bit */
+        u128 carry = 0;
+        for (int i = 0; i < NQ; i++) {
+          u128 s = (u128)b[i] + Q[i] + carry;
+          b[i] = (u64)s;
+          carry = s >> 64;
+        }
+        shr1_carry(b, (u64)carry, NQ);
+      } else {
+        shr1_carry(b, 0, NQ);
+      }
+    }
+    while (!(v[0] & 1)) {
+      shr1_carry(v, 0, NQ);
+      if (c[0] & 1) {
+        u128 carry = 0;
+        for (int i = 0; i < NQ; i++) {
+          u128 s = (u128)c[i] + Q[i] + carry;
+          c[i] = (u64)s;
+          carry = s >> 64;
+        }
+        shr1_carry(c, (u64)carry, NQ);
+      } else {
+        shr1_carry(c, 0, NQ);
+      }
+    }
+    if (ge_n(u, v, NQ)) {
+      sub_n(u, v, NQ);
+      sub_mod_n(b, c, b, Q, NQ);
+    } else {
+      sub_n(v, u, NQ);
+      sub_mod_n(c, b, c, Q, NQ);
+    }
+  }
+  /* v == gcd == 1 (q prime, a != 0); c = x^-1 standard */
+  u64 t[NQ];
+  fq_mul(c, Q_R2, t); /* = a^-1 standard */
+  fq_mul(t, Q_R2, o); /* = a^-1 Montgomery */
+}
+
 /* Fr wrappers */
 static void fr_mul(const u64 *a, const u64 *b, u64 *o) {
   mont_mul_n(a, b, o, FRM, FR_N0, NR);
@@ -821,46 +882,222 @@ static int msm_window_bits(long n) {
   return c;
 }
 
-/* points affine standard form; scalars (n,4) standard; out jacobian -> we
- * return affine standard via single inversion.  Returns 1 if infinity. */
-int g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
-           const u64 *scalars, long n, u64 *ox, u64 *oy) {
-  g16_init();
-  int c = msm_window_bits(n);
-  int nw = (255 + c - 1) / c;
-  u64 mask = (1ULL << c) - 1;
-  /* convert points to Montgomery once */
-  u64(*mx)[NQ] = malloc(n * sizeof(*mx));
-  u64(*my)[NQ] = malloc(n * sizeof(*my));
+/* Signed-digit recoding: digit w of scalar i in [-2^(c-1), 2^(c-1)],
+ * scalar = sum_w d_w 2^(cw).  nw includes one extra carry window, so the
+ * final carry is always absorbed (top digit <= 1). */
+static void msm_recode(const u64 *scalars, long n, int c, int nw,
+                       int16_t *dig) {
+  const u64 mask = (1ULL << c) - 1;
+  const long half = 1L << (c - 1);
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; i++) {
-    fq_to_mont(xs + i * NQ, mx[i]);
-    fq_to_mont(ys + i * NQ, my[i]);
+    const u64 *s = scalars + i * NR;
+    long carry = 0;
+    for (int w = 0; w < nw; w++) {
+      long bit = (long)w * c;
+      u64 raw = 0;
+      int limb = (int)(bit >> 6), off = (int)(bit & 63);
+      if (limb < NR) {
+        raw = s[limb] >> off;
+        if (off + c > 64 && limb + 1 < NR) raw |= s[limb + 1] << (64 - off);
+        raw &= mask;
+      }
+      long d = (long)raw + carry;
+      if (d > half) {
+        d -= 1L << c;
+        carry = 1;
+      } else {
+        carry = 0;
+      }
+      dig[i * nw + w] = (int16_t)d;
+    }
   }
+}
+
+/* Batched Montgomery inversion of m nonzero Montgomery values, in place. */
+#define ABATCH 192
+static void fq_batch_inv(u64 (*a)[NQ], int m) {
+  u64 pref[ABATCH + 1][NQ];
+  memcpy(pref[0], Q_ONE, NQ * 8);
+  for (int k = 0; k < m; k++) fq_mul(pref[k], a[k], pref[k + 1]);
+  u64 inv_all[NQ], t[NQ];
+  fq_inv_fast(pref[m], inv_all);
+  for (int k = m - 1; k >= 0; k--) {
+    fq_mul(pref[k], inv_all, t);
+    fq_mul(inv_all, a[k], inv_all);
+    memcpy(a[k], t, NQ * 8);
+  }
+}
+
+/* Affine bucket for the batch-affine accumulation pass. */
+typedef struct {
+  u64 x[NQ], y[NQ];
+  uint8_t set;
+} g1aff;
+
+/* One batch-affine addition with a precomputed lambda:
+ * (x3, y3) = bucket + (px, py),  lam = (py - by) / (px - bx);
+ * py enters only through lam. */
+static void g1_aff_apply(g1aff *b, const u64 *px, const u64 *lam) {
+  u64 x3[NQ], y3[NQ], t[NQ];
+  fq_sqr(lam, x3);
+  fq_sub(x3, b->x, x3);
+  fq_sub(x3, px, x3);
+  fq_sub(b->x, x3, t);
+  fq_mul(lam, t, y3);
+  fq_sub(y3, b->y, y3);
+  memcpy(b->x, x3, NQ * 8);
+  memcpy(b->y, y3, NQ * 8);
+}
+
+/* Slow path (x-collision: doubling or cancellation); single inversion. */
+static void g1_aff_add_slow(g1aff *b, const u64 *px, const u64 *py) {
+  u64 dx[NQ];
+  fq_sub(px, b->x, dx);
+  if (is_zero_n(dx, NQ)) {
+    u64 sy[NQ];
+    fq_sub(py, b->y, sy);
+    if (!is_zero_n(sy, NQ)) { /* P + (-P) */
+      b->set = 0;
+      return;
+    }
+    u64 lam[NQ], num[NQ], den[NQ];
+    fq_sqr(b->x, num); /* 3x^2 / 2y */
+    fq_dbl(num, lam);
+    fq_add(lam, num, num);
+    fq_dbl(b->y, den);
+    fq_inv(den, den);
+    fq_mul(num, den, lam);
+    g1_aff_apply(b, px, lam);
+    return;
+  }
+  u64 lam[NQ];
+  fq_inv(dx, dx);
+  fq_sub(py, b->y, lam);
+  fq_mul(lam, dx, lam);
+  g1_aff_apply(b, px, lam);
+}
+
+/* Core MSM over Montgomery-form affine points: signed-digit Pippenger
+ * with batch-affine bucket accumulation — one shared inversion per
+ * ~ABATCH independent bucket additions.  A bucket with an addition
+ * already pending in the current batch absorbs further hits through a
+ * Jacobian overflow accumulator instead (so heavily repeated scalars —
+ * the wire-value MSMs are mostly bits — cost one mixed add each, never
+ * a deferral loop; random full-width scalars almost never conflict). */
+static void g1_msm_core(const u64 (*mx)[NQ], const u64 (*my)[NQ],
+                        const uint8_t *inf, const u64 *scalars, long n,
+                        g1p *out) {
+  int c = msm_window_bits(n);
+  int nw = (255 + c - 1) / c + 1; /* + carry window */
+  long half = 1L << (c - 1);
+  int16_t *dig = malloc((size_t)n * nw * sizeof(int16_t));
+  msm_recode(scalars, n, c, nw, dig);
   g1p *wsums = malloc(nw * sizeof(g1p));
 #pragma omp parallel for schedule(dynamic)
   for (int w = 0; w < nw; w++) {
-    long nb = 1L << c;
-    g1p *buckets = calloc(nb, sizeof(g1p)); /* z=0 => infinity */
-    int bit = w * c;
+    g1aff *buckets = calloc(half + 1, sizeof(g1aff));
+    g1p *jbuck = calloc(half + 1, sizeof(g1p)); /* z=0 => infinity */
+    uint8_t *pend = calloc(half + 1, 1);
+    /* batch slots: pointers into mx/my plus sign — no point copies */
+    long sb[ABATCH], si[ABATCH];
+    int8_t ssgn[ABATCH];
+    u64 sden[ABATCH][NQ];
+    int m = 0;
     for (long i = 0; i < n; i++) {
       if (inf[i]) continue;
-      const u64 *s = scalars + i * NR;
-      int limb = bit >> 6, off = bit & 63;
-      u64 d = s[limb] >> off;
-      if (off + c > 64 && limb + 1 < NR) d |= s[limb + 1] << (64 - off);
-      d &= mask;
-      if (d) g1_madd(&buckets[d], mx[i], my[i], &buckets[d]);
+      int d = dig[i * nw + w];
+      if (!d) continue;
+      long b = d > 0 ? d : -(long)d;
+      g1aff *bk = &buckets[b];
+      if (pend[b]) { /* conflict this batch: Jacobian overflow */
+        u64 ny[NQ];
+        const u64 *py = my[i];
+        if (d < 0) {
+          memcpy(ny, Q, NQ * 8);
+          sub_n(ny, my[i], NQ);
+          py = ny;
+        }
+        g1_madd(&jbuck[b], mx[i], py, &jbuck[b]);
+        continue;
+      }
+      if (!bk->set) { /* free write */
+        memcpy(bk->x, mx[i], NQ * 8);
+        if (d > 0) {
+          memcpy(bk->y, my[i], NQ * 8);
+        } else {
+          memcpy(bk->y, Q, NQ * 8);
+          sub_n(bk->y, my[i], NQ); /* Montgomery negate: q - y */
+        }
+        bk->set = 1;
+        pend[b] = 1;
+        continue;
+      }
+      fq_sub(mx[i], bk->x, sden[m]);
+      if (is_zero_n(sden[m], NQ)) { /* rare x-collision: slow path */
+        u64 ny[NQ];
+        const u64 *py = my[i];
+        if (d < 0) {
+          memcpy(ny, Q, NQ * 8);
+          sub_n(ny, my[i], NQ);
+          py = ny;
+        }
+        g1_aff_add_slow(bk, mx[i], py);
+        pend[b] = 1;
+        continue;
+      }
+      sb[m] = b;
+      si[m] = i;
+      ssgn[m] = d > 0 ? 1 : -1;
+      pend[b] = 1;
+      m++;
+      if (m == ABATCH) {
+        fq_batch_inv(sden, m);
+        for (int k = 0; k < m; k++) {
+          u64 lam[NQ];
+          g1aff *t = &buckets[sb[k]];
+          if (ssgn[k] > 0) {
+            fq_sub(my[si[k]], t->y, lam); /* (py - by) * dx^-1 */
+          } else {
+            fq_add(my[si[k]], t->y, lam); /* -(py + by) * dx^-1 */
+            fq_neg(lam, lam);
+          }
+          fq_mul(lam, sden[k], lam);
+          g1_aff_apply(t, mx[si[k]], lam);
+        }
+        m = 0;
+        memset(pend, 0, half + 1);
+      }
     }
+    if (m) {
+      fq_batch_inv(sden, m);
+      for (int k = 0; k < m; k++) {
+        u64 lam[NQ];
+        g1aff *t = &buckets[sb[k]];
+        if (ssgn[k] > 0) {
+          fq_sub(my[si[k]], t->y, lam);
+        } else {
+          fq_add(my[si[k]], t->y, lam);
+          fq_neg(lam, lam);
+        }
+        fq_mul(lam, sden[k], lam);
+        g1_aff_apply(t, mx[si[k]], lam);
+      }
+    }
+    /* suffix-sum the affine buckets + Jacobian overflow */
     g1p running, acc;
     g1_set_inf(&running);
     g1_set_inf(&acc);
-    for (long b = nb - 1; b >= 1; b--) {
-      g1_add(&running, &buckets[b], &running);
+    for (long b = half; b >= 1; b--) {
+      if (buckets[b].set)
+        g1_madd(&running, buckets[b].x, buckets[b].y, &running);
+      if (!g1_is_inf(&jbuck[b])) g1_add(&running, &jbuck[b], &running);
       g1_add(&acc, &running, &acc);
     }
     wsums[w] = acc;
     free(buckets);
+    free(jbuck);
+    free(pend);
   }
   g1p total;
   g1_set_inf(&total);
@@ -870,18 +1107,62 @@ int g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
     g1_add(&total, &wsums[w], &total);
   }
   free(wsums);
-  free(mx);
-  free(my);
-  if (g1_is_inf(&total)) return 1;
+  free(dig);
+  *out = total;
+}
+
+static int g1_out_affine(const g1p *total, u64 *ox, u64 *oy) {
+  if (g1_is_inf(total)) return 1;
   u64 zinv[NQ], zi2[NQ], t[NQ];
-  fq_inv(total.z, zinv);
+  fq_inv(total->z, zinv);
   fq_sqr(zinv, zi2);
-  fq_mul(total.x, zi2, t);
+  fq_mul(total->x, zi2, t);
   fq_from_mont(t, ox);
-  fq_mul(total.y, zi2, t);
+  fq_mul(total->y, zi2, t);
   fq_mul(t, zinv, t);
   fq_from_mont(t, oy);
   return 0;
+}
+
+/* One-time standard -> Montgomery conversion of a point array (lets the
+ * prover cache the conversion per proving key instead of per MSM call). */
+void g1_to_mont(const u64 *xs, const u64 *ys, long n, u64 *mx, u64 *my) {
+  g16_init();
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n; i++) {
+    fq_to_mont(xs + i * NQ, mx + i * NQ);
+    fq_to_mont(ys + i * NQ, my + i * NQ);
+  }
+}
+
+/* MSM over pre-converted Montgomery points. */
+int g1_msm_pre(const u64 *mx, const u64 *my, const uint8_t *inf,
+               const u64 *scalars, long n, u64 *ox, u64 *oy) {
+  g16_init();
+  g1p total;
+  g1_msm_core((const u64(*)[NQ])mx, (const u64(*)[NQ])my, inf, scalars, n,
+              &total);
+  return g1_out_affine(&total, ox, oy);
+}
+
+/* points affine standard form; scalars (n,4) standard; out jacobian -> we
+ * return affine standard via single inversion.  Returns 1 if infinity. */
+int g1_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,
+           const u64 *scalars, long n, u64 *ox, u64 *oy) {
+  g16_init();
+  u64(*mx)[NQ] = malloc(n * sizeof(*mx));
+  u64(*my)[NQ] = malloc(n * sizeof(*my));
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n; i++) {
+    fq_to_mont(xs + i * NQ, mx[i]);
+    fq_to_mont(ys + i * NQ, my[i]);
+  }
+  g1p total;
+  g1_msm_core((const u64(*)[NQ])mx, (const u64(*)[NQ])my, inf, scalars, n,
+              &total);
+  free(mx);
+  free(my);
+  return g1_out_affine(&total, ox, oy);
 }
 
 int g2_msm(const u64 *xs, const u64 *ys, const uint8_t *inf,

@@ -56,9 +56,10 @@ def _load() -> ctypes.CDLL:
     lib.g16_selftest.restype = ctypes.c_int
     lib.g1_fixed_base_batch.argtypes = [_U64P, ctypes.c_long, _U64P, _U64P, _U8P]
     lib.g2_fixed_base_batch.argtypes = [_U64P, ctypes.c_long, _U64P, _U64P, _U8P]
-    for fn in (lib.g1_msm, lib.g2_msm):
+    for fn in (lib.g1_msm, lib.g2_msm, lib.g1_msm_pre):
         fn.argtypes = [_U64P, _U64P, _U8P, _U64P, ctypes.c_long, _U64P, _U64P]
         fn.restype = ctypes.c_int
+    lib.g1_to_mont.argtypes = [_U64P, _U64P, ctypes.c_long, _U64P, _U64P]
     lib.fr_fft.argtypes = [_U64P, ctypes.c_long, _U64P, ctypes.c_int]
     lib.fr_scale_powers.argtypes = [_U64P, ctypes.c_long, _U64P, ctypes.c_int]
     lib.fr_quotient.argtypes = [_U64P, _U64P, _U64P, _U64P, ctypes.c_long, _U64P]
@@ -120,14 +121,27 @@ def g2_fixed_base_batch(scalars) -> G2Array:
 
 
 def g1_msm(points: G1Array, scalars):
-    """MSM over a G1Array -> affine (x, y) tuple or None."""
+    """MSM over a G1Array -> affine (x, y) tuple or None.
+
+    The standard->Montgomery conversion of the point array is cached on
+    the G1Array (the prover reuses each proving-key query across proofs,
+    so the conversion is paid once per key, not once per MSM)."""
     lib = _load()
     sc = _scalars_to_limbs(scalars)
     assert len(sc) == len(points)
+    mont = getattr(points, "_mont", None)
+    if mont is None:
+        n = len(points)
+        mx = np.empty((n, 6), dtype=np.uint64)
+        my = np.empty((n, 6), dtype=np.uint64)
+        lib.g1_to_mont(_p64(points.xs), _p64(points.ys), n, _p64(mx),
+                       _p64(my))
+        mont = points._mont = (mx, my)
+    mx, my = mont
     ox = np.empty(6, dtype=np.uint64)
     oy = np.empty(6, dtype=np.uint64)
-    rc = lib.g1_msm(
-        _p64(points.xs), _p64(points.ys), points.inf.ctypes.data_as(_U8P),
+    rc = lib.g1_msm_pre(
+        _p64(mx), _p64(my), points.inf.ctypes.data_as(_U8P),
         _p64(sc), len(sc), _p64(ox), _p64(oy),
     )
     if rc:

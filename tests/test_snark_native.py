@@ -73,6 +73,52 @@ def test_msm_zero_scalars_and_infinity_points():
     assert one == pts[0]
 
 
+def test_msm_bucket_collision_storms():
+    """Adversarial digit patterns for the batch-affine accumulator:
+    repeated tiny scalars (every point -> the same bucket, forcing the
+    Jacobian overflow path and the equal-x doubling slow path), and exact
+    cancellation to infinity via (s, r-s) on one point."""
+    base = msm.g1_normalize_batch(msm.g1_fixed_base(bls.G1_GEN).mul_batch([11]))[0]
+    n = 64
+    arr = G1Array.from_affine_list([base] * n)
+    got = nb.g1_msm(arr, [7] * n)
+    assert got == bls.g1_to_affine(
+        bls.g1_mul(bls.g1_from_affine(base), 7 * n)
+    )
+    # signed-digit boundary scalars (d == 2^(c-1), negative digits)
+    pts = msm.g1_normalize_batch(
+        msm.g1_fixed_base(bls.G1_GEN).mul_batch(list(range(2, 34)))
+    )
+    sc = [1 << k for k in range(32)]  # walks digits across window edges
+    ref = bls.g1_to_affine(
+        msm.g1_msm([bls.g1_from_affine(p) for p in pts], sc)
+    )
+    assert nb.g1_msm(G1Array.from_affine_list(pts), sc) == ref
+    # cancellation to infinity
+    two = G1Array.from_affine_list([base, base])
+    assert nb.g1_msm(two, [5, bls.R - 5]) is None
+
+
+def test_msm_mixed_bit_and_random_scalars():
+    """The prover's real scalar mix: mostly bits/small values + a tail of
+    full-width scalars (covers conflict-heavy AND conflict-free paths of
+    the same window)."""
+    k = 96
+    seeds = [rng.randrange(1, bls.R) for _ in range(k)]
+    pts = msm.g1_normalize_batch(msm.g1_fixed_base(bls.G1_GEN).mul_batch(seeds))
+    sc = [rng.randrange(2) for _ in range(k // 2)] + [
+        rng.randrange(bls.R) for _ in range(k - k // 2)
+    ]
+    ref = bls.g1_to_affine(
+        msm.g1_msm([bls.g1_from_affine(p) for p in pts], sc)
+    )
+    arr = G1Array.from_affine_list(pts)
+    assert nb.g1_msm(arr, sc) == ref
+    # second call exercises the cached Montgomery-form fast path
+    assert nb.g1_msm(arr, sc) == ref
+    assert hasattr(arr, "_mont")
+
+
 def test_fft_matches_python():
     dom = fr.Domain(500)  # 512
     vals = [rng.randrange(bls.R) for _ in range(dom.size)]
