@@ -10,6 +10,9 @@ the TPU-side stages the reference doesn't have:
   real NTRU keygen + signing -> circuit synthesis (cached COO) ->
   batched device witness generation -> device CRT satisfiability check ->
   Groth16 setup (CRS cached to disk) -> prove -> pairing verify.
+
+Usage: python examples/pok_sig.py [512|1024]   (default 512; the
+reference example is hard-wired to 512, pok_sig.rs:15).
 """
 
 import time
@@ -22,7 +25,7 @@ import numpy as np
 
 from falcon_r1cs_tpu import FalconNTTVerificationCircuit
 from falcon_r1cs_tpu.falcon import ntt
-from falcon_r1cs_tpu.params import FALCON_512
+from falcon_r1cs_tpu.params import get_params
 from falcon_r1cs_tpu.parallel.sat_check import ResidueSystem
 from falcon_r1cs_tpu.r1cs.coo import cache_dir, compile_circuit
 from falcon_r1cs_tpu.snark import prove, setup, verify
@@ -32,7 +35,9 @@ from falcon_r1cs_tpu.witness import interleave_witness, jitted_engine
 
 def main():
     rng = np.random.default_rng(0)
-    params = FALCON_512
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    params = get_params(n)
+    print(f"parameter set: Falcon-{n}")
 
     # real keygen + deterministic signing (the reference's pok_sig flow:
     # `pok_sig.rs:15-21`), then clear verification

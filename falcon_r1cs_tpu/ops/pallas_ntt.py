@@ -116,12 +116,24 @@ def _make_kernel(params: FalconParams):
 
             jax.lax.fori_loop(0, act[l], pass_stage, (zeros, zeros))
 
-        # divmod by q from the top limb
+        # divmod by q from the top limb; float-reciprocal divmod (exact
+        # for cur < 2^30, same +-1-fixup argument as ops/modq.divmod_q,
+        # inlined here with a Python-float reciprocal because pallas_call
+        # rejects kernels capturing module-level jnp constants) instead
+        # of `//`/`%`, which lower to a long-division loop per limb row
+        inv_q = float(1.0 / Q)
+
         def div(kk, r):
             k = L - 1 - kk
             cur = (r << LIMB_BITS) + st_ref[k]
-            t_ref[k] = cur // Q
-            return cur % Q
+            t = jnp.floor(cur.astype(jnp.float32) * inv_q).astype(jnp.int32)
+            rem = cur - t * Q
+            over = (rem >= Q).astype(jnp.int32)
+            t = t + over
+            rem = rem - over * Q
+            under = (rem < 0).astype(jnp.int32)
+            t_ref[k] = t - under
+            return rem + under * Q
 
         r = jax.lax.fori_loop(0, L, div, zeros)
         b_ref[...] = r
