@@ -199,7 +199,7 @@ def bench_hash_to_point(batch=4096, n=1024, trials=5):
     return best
 
 
-def bench_pipeline(batch=1024, n=1024, trials=3):
+def bench_pipeline(batch=512, n=1024, trials=2):
     """End-to-end wire-bytes -> witness-segments rate (decode + SIMD
     hash-to-point + device NTTs + witness engine), the honest whole-path
     number the VERDICT asked for.
@@ -351,9 +351,11 @@ def main():
         ("direct_synthesis_cns_per_sec", bench_direct_synthesis, 30),
         ("hash_to_point_per_sec", lambda: bench_hash_to_point() or 0, 30),
         ("groth16_proves_per_sec", bench_groth16, 90),
+        # two fresh XLA compiles through the tunnel dominate (~280 s);
+        # either give it the full window or skip cleanly
+        ("pipeline_witnesses_per_sec", bench_pipeline, 330),
         ("dual_ntt_witnesses_per_sec", bench_dual, 150),
         ("schoolbook_witnesses_per_sec", bench_schoolbook, 150),
-        ("pipeline_witnesses_per_sec", bench_pipeline, 120),
     ]
     import signal
 

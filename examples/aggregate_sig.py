@@ -55,7 +55,7 @@ def main():
     jax.block_until_ready(out.packed)
     dt = time.time() - t0
     print(f"decode + hash-to-point + witness + pack: {dt:.2f}s "
-          f"({args.k/dt:,.0f} sigs/s incl. host stages)")
+          f"({args.k/dt:,.1f} sigs/s incl. host stages)")
 
     # batched satisfiability verdict straight from the packed export
     compiled = compile_circuit(FalconNTTVerificationCircuit, insts[0])

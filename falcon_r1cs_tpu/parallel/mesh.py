@@ -11,9 +11,20 @@ parallelism stack that replaces it:
       (the sequence-parallel analog); early butterfly stages exchange
       coefficients across shards -- XLA inserts the all-to-all/ppermute
       collectives from the shardings.
-  TP/PP/EP: not applicable to this workload (no weight matrices, no
-      pipeline of heterogeneous layers, no experts); documented as N/A
-      rather than silently absent.
+  TP/PP/EP: not applicable to this workload, with reasons rather than
+      silence.  TP over weights: there are no weight matrices.  TP over
+      the LIMB axis (SURVEY 2.4's other candidate): structurally wrong
+      here — the limb axis is 11-12 rows of 16-bit carries whose
+      semi-normalization rounds propagate carry_k -> limb_{k+1}
+      sequentially, so a limb-sharded kernel would insert a ppermute
+      inside EVERY carry round of every butterfly stage (log-depth
+      serialized ICI hops to move 4-byte carries), while the whole limb
+      state for a batch block is ~3 MB — three orders of magnitude below
+      a v5e's VMEM pressure point.  The coeff ("SP") axis gives the same
+      intra-signature scaling with one exchange per early NTT stage
+      instead.  PP: built and measured 7.7x slower than DP at equal
+      devices (parallel/pipeline_pp.py, PARITY_NOTES.md).  EP: no
+      experts.
 
 Collectives ride ICI within a slice via XLA:TPU; multi-host extends the
 same mesh over DCN via jax.distributed (no custom transport, by design).
