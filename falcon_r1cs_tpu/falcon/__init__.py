@@ -19,6 +19,7 @@ from .instances import (
     make_instance,
     make_instance_batch,
     verify,
+    verify_batch,
 )
 from .keygen import NTRUSolveError, SecretKey, keygen, ntru_solve
 from .sign import KeyPair, Signature, Signer
@@ -53,4 +54,5 @@ __all__ = [
     "ntt",
     "ntt_jax",
     "verify",
+    "verify_batch",
 ]

@@ -24,6 +24,7 @@ This module provides:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -80,6 +81,65 @@ def verify(
         np.sum(v_signed**2)
     )
     return norm < params.sig_l2_bound
+
+
+def verify_batch(
+    h: np.ndarray,
+    msgs: list[bytes],
+    nonces: list[bytes],
+    sig_signed: np.ndarray,
+    params: FalconParams,
+) -> np.ndarray:
+    """Batched Falcon verification on device (falcon-rust `verify` parity
+    at batch scale): hash-to-point on host (native C when built), then a
+    single jitted NTT + norm check over the whole batch.
+
+    h: (B, n) or (n,) public keys; sig_signed: (B, n) signed s2.
+    Returns a (B,) bool array.
+    """
+    import jax.numpy as jnp
+
+    from .hash_to_point import hash_to_point_batch
+
+    n = params.n
+    sig_signed = np.atleast_2d(np.asarray(sig_signed, dtype=np.int64))
+    B = sig_signed.shape[0]
+    h2 = np.broadcast_to(np.atleast_2d(np.asarray(h, dtype=np.int64)), (B, n))
+    hm = hash_to_point_batch(msgs, nonces, n)
+    fn = _jitted_verify_cached(n, int(params.sig_l2_bound))
+    return np.asarray(
+        fn(
+            jnp.asarray(sig_signed % Q, jnp.int32),
+            jnp.asarray(h2 % Q, jnp.int32),
+            jnp.asarray(hm, jnp.int32),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_verify_cached(n: int, bound: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .ntt import intt_jax, ntt_jax
+
+    bh, bl = bound >> 16, bound & 0xFFFF
+
+    def check(s2, h, hm):
+        v = (hm - intt_jax(ntt_jax(s2, n) * ntt_jax(h, n) % Q, n)) % Q
+        v_signed = jnp.where(v < _HALF, v, v - Q)
+        s2_signed = jnp.where(s2 < _HALF, s2, s2 - Q)
+        # exact 38-bit norm via the engines' 16-bit split accumulation
+        # (int64 is unavailable on device; per-coeff squares < 2^26)
+        sq = jnp.concatenate([v_signed * v_signed, s2_signed * s2_signed],
+                             axis=-1)
+        lo = jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1)
+        hi = jnp.sum(sq >> 16, axis=-1) + (lo >> 16)
+        lo = jnp.bitwise_and(lo, 0xFFFF)
+        # norm = hi*2^16 + lo  <  bound = bh*2^16 + bl
+        return (hi < bh) | ((hi == bh) & (lo < bl))
+
+    return jax.jit(check)
 
 
 def _sample_small(rng: np.random.Generator, n: int) -> np.ndarray:

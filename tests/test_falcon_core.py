@@ -132,3 +132,28 @@ def test_instance_verifies(rng, params):
     bad = inst.sig_signed.copy()
     bad[0] += 3000
     assert not verify(inst.h, inst.msg, inst.nonce, bad, params)
+
+
+def test_verify_batch_matches_scalar():
+    """Batched device verification == per-signature host verification,
+    including rejects (tampered message and oversized signature)."""
+    import numpy as np
+
+    from falcon_r1cs_tpu.falcon import make_instance, verify, verify_batch
+    from falcon_r1cs_tpu.params import FALCON_512
+
+    rng = np.random.default_rng(9)
+    insts = [make_instance(rng, FALCON_512, msg=b"vb %d" % i) for i in range(4)]
+    h = np.stack([i.h for i in insts])
+    s2 = np.stack([i.sig_signed for i in insts])
+    msgs = [i.msg for i in insts]
+    nonces = [i.nonce for i in insts]
+    # corrupt one message and blow up one signature's norm
+    msgs[1] = b"tampered"
+    s2[2] = 4000
+    got = verify_batch(h, msgs, nonces, s2, FALCON_512)
+    exp = [
+        verify(h[i], msgs[i], nonces[i], s2[i], FALCON_512) for i in range(4)
+    ]
+    assert got.tolist() == exp
+    assert exp == [True, False, False, True]
