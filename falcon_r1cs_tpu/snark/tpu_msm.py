@@ -16,11 +16,13 @@ the body, so the whole MSM compiles to a small XLA program regardless of
 n.  Sharding the point axis batch-splits the MSM across a mesh.
 
 Measured tradeoff (ENGINEERING.md "TPU MSM"): one v5e chip runs the
-Montgomery core at ~17 M modmul/s vs ~28 M modmul/s for the 4-core
-OpenMP C backend, and the Hillis-Steele scans cost a log2(n) work factor
-the host's sequential buckets don't pay — the default prover therefore
-keeps the C backend, and this module is the correctness-validated
-scale-out path (differentially tested: tests/test_tpu_msm.py).
+Montgomery core at ~7.9 M modmul/s device-profiled (int8-MXU constant
+products, 2.9x the pure-VPU fold; peak at B=2^14, falling to 5.4 M by
+B=2^18) vs ~28 M modmul/s for the 4-core OpenMP C backend, and the
+Hillis-Steele scans cost a log2(n) work factor the host's sequential
+buckets don't pay — the default prover therefore keeps the C backend,
+and this module is the correctness-validated scale-out path
+(differentially tested: tests/test_tpu_msm.py).
 """
 
 from __future__ import annotations
