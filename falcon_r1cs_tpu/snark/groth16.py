@@ -219,10 +219,19 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
 
         g1msm = tpu_msm.g1_msm_tpu
 
-    ga = g1msm(pk.a_query, z)
-    gb1 = g1msm(pk.b_g1_query, z)
-    gb2 = g2msm(pk.b_g2_query, z)
-    gc_l = g1msm(pk.l_query, z[ni:])
+    if native is not None and g1_backend != "tpu":
+        # one scalar->limb conversion shared by the A/B1/B2/L MSMs (the
+        # native wrappers fast-path (n,4) u64 arrays; h is already limbs)
+        from .points import ints_to_limbs
+
+        z_sc = ints_to_limbs(z, 4)
+        zl_sc = z_sc[ni:]
+    else:
+        z_sc, zl_sc = z, z[ni:]
+    ga = g1msm(pk.a_query, z_sc)
+    gb1 = g1msm(pk.b_g1_query, z_sc)
+    gb2 = g2msm(pk.b_g2_query, z_sc)
+    gc_l = g1msm(pk.l_query, zl_sc)
     gc_h = g1msm(pk.h_query, h)
 
     delta1 = g1_from_affine(pk.delta_g1)
