@@ -235,25 +235,47 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
     gc_h = g1msm(pk.h_query, h)
 
     delta1 = g1_from_affine(pk.delta_g1)
+
+    # the handful of single-point scalar muls in the final assembly are
+    # ~10 ms each through the pure-Python ladder; route them through the
+    # native MSM (n=1) when it is available — one cheap affine
+    # conversion each, identical results
+    if native is not None:
+        def g1_mul_fast(jac, k):
+            aff = g1_to_affine(jac)
+            from .points import G1Array
+
+            got = native.g1_msm(G1Array.from_affine_list([aff]), [k % R])
+            return _jac(got)
+
+        def g2_mul_fast(jac, k):
+            aff = g2_to_affine(jac)
+            from .points import G2Array
+
+            got = native.g2_msm(G2Array.from_affine_list([aff]), [k % R])
+            return _jac2(got)
+    else:
+        g1_mul_fast, g2_mul_fast = g1_mul, g2_mul
+
     # A = alpha + <z, u> + r*delta
     a_jac = g1_add(
         g1_add(g1_from_affine(pk.vk.alpha_g1), _jac(ga)),
-        g1_mul(delta1, r),
+        g1_mul_fast(delta1, r),
     )
     # B (G2) = beta + <z, v> + s*delta ; B1 is its G1 twin
     b_jac = g2_add(
         g2_add(g2_from_affine(pk.vk.beta_g2), _jac2(gb2)),
-        g2_mul(g2_from_affine(pk.vk.delta_g2), s),
+        g2_mul_fast(g2_from_affine(pk.vk.delta_g2), s),
     )
     b1_jac = g1_add(
         g1_add(g1_from_affine(pk.beta_g1), _jac(gb1)),
-        g1_mul(delta1, s),
+        g1_mul_fast(delta1, s),
     )
     # C = (l + h) + s*A + r*B1 - r*s*delta
     c_jac = g1_add(_jac(gc_l), _jac(gc_h))
-    c_jac = g1_add(c_jac, g1_mul(a_jac, s))
-    c_jac = g1_add(c_jac, g1_mul(b1_jac, r))
-    c_jac = g1_add(c_jac, g1_neg(g1_mul(delta1, r * s % R)))
+    c_jac = g1_add(c_jac, g1_mul_fast(a_jac, s))
+    c_jac = g1_add(c_jac, g1_mul_fast(b1_jac, r))
+    c_jac = g1_add(c_jac, g1_neg(g1_mul_fast(delta1, r * s % R)))
     return Proof(
         a=g1_to_affine(a_jac), b=g2_to_affine(b_jac), c=g1_to_affine(c_jac)
     )

@@ -251,7 +251,12 @@ def witness_map(compiled, z):
     dom: Domain = cache["dom"]
     nc = compiled.num_constraints
     ni = compiled.num_instance
-    z_limbs = ints_to_limbs([int(x) % R for x in z], 4)
+    try:
+        # wire vectors are < 2^64 in practice; the numpy path needs no
+        # mod (values < 2^64 < r) and skips 79k Python bigint mods
+        z_limbs = ints_to_limbs(np.asarray(z, dtype=np.uint64), 4)
+    except (OverflowError, TypeError, ValueError):
+        z_limbs = ints_to_limbs([int(x) % R for x in z], 4)
     z_mont = fr_batch_to_mont(z_limbs)
 
     evals = {}
