@@ -15,11 +15,13 @@ its group.  Two lane-rolls per limb give both butterfly operands in place:
     out[j] = u + v                 (lo slots)
              u + (bound_l - v)     (hi slots)
 
-The limb axis is traversed with fori_loops over VMEM scratch (carry chains
-as loop-carried values; Mosaic's scan lowering does not support extensive
-outputs and a fully unrolled jaxpr takes minutes to compile).  Stage
-constants live in SMEM; per-position twiddles and lo-slot masks are
-precomputed host tables.
+The limb axis is a STATICALLY UNROLLED sweep over VMEM scratch (carry
+chains as Python-level values).  The per-stage active-limb schedule keeps
+the unroll to ~65 iterations, small enough to compile in ~40 s cold; the
+earlier fori_loop form indexed the scratch dynamically, which Mosaic
+lowers to per-iteration address arithmetic — 26% slower.  Stage constants
+live in SMEM; per-position twiddles and lo-slot masks are precomputed
+host tables.
 """
 
 from __future__ import annotations
@@ -84,13 +86,16 @@ def _make_kernel(params: FalconParams):
     def kernel(x_ref, tw_ref, lo_ref, bounds_ref, t_ref, b_ref, st_ref):
         zeros = jnp.zeros_like(x_ref[...])
         st_ref[0] = x_ref[...]
-
-        def clear(k, _):
+        for k in range(1, L):
             st_ref[k] = zeros
-            return 0
 
-        jax.lax.fori_loop(1, L, clear, 0)
-
+        # STATIC limb sweep: every st_ref index is a compile-time
+        # constant.  The earlier fori_loop form indexed the VMEM scratch
+        # with the loop counter — dynamic ref indexing that Mosaic turns
+        # into address arithmetic per iteration; unrolling it measured
+        # 0.715 vs 0.965 ms per 1024-batch (26%), bit-identical.
+        # sum(act) ~ 65 iterations keeps the jaxpr small enough that the
+        # remote compiler stays ~40 s cold (cached thereafter).
         for l in range(log_n):
             half = n >> (l + 1)
             s = tw_ref[l, :]
@@ -99,22 +104,18 @@ def _make_kernel(params: FalconParams):
             # single merged pass per stage: the v chain (hi * s) and the
             # out chain (u + v / u + (c - v)) both run their limb carries
             # in the same k-sweep, reading each state row once
-            def pass_stage(k, carry, _l=l, _half=half, _s=s, _lo=lo):
-                cv, co = carry
+            cv = co = zeros
+            for k in range(act[l]):
                 sk = st_ref[k]
-                hik = jnp.where(_lo, pltpu.roll(sk, n - _half, 1), sk)
-                uk = jnp.where(_lo, sk, pltpu.roll(sk, _half, 1))
-                tv = hik * _s + cv
+                hik = jnp.where(lo, pltpu.roll(sk, n - half, 1), sk)
+                uk = jnp.where(lo, sk, pltpu.roll(sk, half, 1))
+                tv = hik * s + cv
                 vk = jnp.bitwise_and(tv, LIMB_MASK)
-                ck = bounds_ref[_l + 1, k]
-                to = jnp.where(_lo, uk + vk, uk + (ck - vk)) + co
+                ck = bounds_ref[l + 1, k]
+                to = jnp.where(lo, uk + vk, uk + (ck - vk)) + co
                 st_ref[k] = jnp.bitwise_and(to, LIMB_MASK)
-                return (
-                    jnp.right_shift(tv, LIMB_BITS),
-                    jnp.right_shift(to, LIMB_BITS),
-                )
-
-            jax.lax.fori_loop(0, act[l], pass_stage, (zeros, zeros))
+                cv = jnp.right_shift(tv, LIMB_BITS)
+                co = jnp.right_shift(to, LIMB_BITS)
 
         # divmod by q from the top limb; float-reciprocal divmod (exact
         # for cur < 2^30, same +-1-fixup argument as ops/modq.divmod_q,
@@ -123,7 +124,8 @@ def _make_kernel(params: FalconParams):
         # of `//`/`%`, which lower to a long-division loop per limb row
         inv_q = float(1.0 / Q)
 
-        def div(kk, r):
+        r = zeros
+        for kk in range(L):
             k = L - 1 - kk
             cur = (r << LIMB_BITS) + st_ref[k]
             t = jnp.floor(cur.astype(jnp.float32) * inv_q).astype(jnp.int32)
@@ -133,9 +135,7 @@ def _make_kernel(params: FalconParams):
             rem = rem - over * Q
             under = (rem < 0).astype(jnp.int32)
             t_ref[k] = t - under
-            return rem + under * Q
-
-        r = jax.lax.fori_loop(0, L, div, zeros)
+            r = rem + under * Q
         b_ref[...] = r
 
     return kernel
