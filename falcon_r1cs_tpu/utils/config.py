@@ -23,8 +23,8 @@ class RuntimeConfig:
     # kernel, fall back to the XLA path if Mosaic is unavailable);
     # True = require Pallas; False = XLA only
     use_pallas_ntt: bool | None = None
-    # pallas batch block
-    pallas_block: int = 64
+    # pallas batch block (16 measured best on v5e; see ops/pallas_ntt.py)
+    pallas_block: int = 16
     # CRT satisfiability primes
     num_crt_primes: int = 24
     # compiled-artifact cache directory
