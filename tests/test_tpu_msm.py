@@ -140,3 +140,23 @@ def test_msm_all_zero_is_infinity():
     pts = [bls.G1_GEN] * 4
     arr = G1Array.from_affine_list(pts)
     assert tpu_msm.g1_msm_tpu(arr, [0, 0, 0, 0], window=4) is None
+
+
+def test_msm_sharded_matches_single():
+    """Point-axis sharded MSM across the 8-device virtual mesh equals the
+    single-device result (and the host reduction)."""
+    import jax
+
+    n = 40  # deliberately not a multiple of 8: exercises padding
+    ks = [secrets.randbelow(500) + 1 for k in range(n)]
+    scalars = [secrets.randbelow(bls.R) for _ in range(n)]
+    scalars[7] = 0
+    gen = bls.g1_from_affine(bls.G1_GEN)
+    pts = [bls.g1_to_affine(bls.g1_mul(gen, k)) for k in ks]
+    pts[11] = None
+    arr = G1Array.from_affine_list(pts)
+    single = tpu_msm.g1_msm_tpu(arr, scalars, window=4)
+    sharded = tpu_msm.g1_msm_tpu_sharded(
+        arr, scalars, window=4, devices=jax.devices()
+    )
+    assert sharded == single
