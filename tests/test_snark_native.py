@@ -340,3 +340,34 @@ def test_falcon1024_groth16_end_to_end():
     bad = list(public_inputs)
     bad[1] = (bad[1] + 1) % 12289
     assert not verify(pk.vk, bad, proof)
+
+
+def test_portable_fallback_build_selftest(tmp_path):
+    """The generic u128 CIOS fallback (no ADX asm, no AVX512IFMA tier)
+    must still build and pass the full native selftest — it is the path
+    any non-x86/older-x86 deploy host takes, and nothing else on this
+    machine ever compiles it."""
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    src = (
+        Path(nb.__file__).resolve().parent.parent
+        / "native"
+        / "groth16_native.c"
+    )
+    so = tmp_path / "_g16_portable.so"
+    subprocess.run(
+        [
+            "gcc", "-O2", "-shared", "-fPIC", "-fopenmp",
+            # x86-64 baseline: no ADX/BMI2 (kills HAVE_ADX_MONT) and no
+            # AVX-512 (kills HAVE_IFMA52)
+            "-march=x86-64",
+            str(src), "-o", str(so),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    lib = ctypes.CDLL(str(so))
+    lib.g16_selftest.restype = ctypes.c_int
+    assert lib.g16_selftest() == 0
