@@ -122,8 +122,8 @@ def sharded_engine(n: int, mesh_key=None):
             "v_ntt_tail": P("batch", None, None),
             "pointwise": P("batch", None, None),
             "pointwise_tail": P("batch", None, None),
-            "norm_bits": P("batch", None, None),
-            "norm_vals": P("batch", None, None),
+            "norm_bits": P(None, "batch", None),
+            "norm_vals": P(None, "batch", None),
             "bound": P("batch", None),
             "pk_ntt": P("batch", None), "hm_ntt": P("batch", None),
         }
@@ -148,10 +148,10 @@ def sharded_engine(n: int, mesh_key=None):
         "v_ntt_tail": P("batch", "coeff", None),
         "pointwise": P("batch", "coeff", None),
         "pointwise_tail": P("batch", "coeff", None),
-        "norm_bits_v": P("batch", "coeff", None),
-        "norm_bits_sig": P("batch", "coeff", None),
-        "norm_vals_v": P("batch", "coeff", None),
-        "norm_vals_sig": P("batch", "coeff", None),
+        "norm_bits_v": P(None, "batch", "coeff"),
+        "norm_bits_sig": P(None, "batch", "coeff"),
+        "norm_vals_v": P(None, "batch", "coeff"),
+        "norm_vals_sig": P(None, "batch", "coeff"),
         "bound": P("batch", None),
         "pk_ntt": P("batch", "coeff"), "hm_ntt": P("batch", "coeff"),
     }
@@ -170,10 +170,10 @@ def sharded_engine(n: int, mesh_key=None):
         import jax.numpy as jnp
 
         seg["norm_bits"] = jnp.concatenate(
-            [seg.pop("norm_bits_v"), seg.pop("norm_bits_sig")], axis=1
+            [seg.pop("norm_bits_v"), seg.pop("norm_bits_sig")], axis=2
         )
         seg["norm_vals"] = jnp.concatenate(
-            [seg.pop("norm_vals_v"), seg.pop("norm_vals_sig")], axis=1
+            [seg.pop("norm_vals_v"), seg.pop("norm_vals_sig")], axis=2
         )
         return seg
 
@@ -192,7 +192,7 @@ def _make_local_sp_engine(params, d_coeff: int):
         _bound_block_512,
         _bound_block_1024,
         _lt_q_chain,
-        _norm_block,
+        _norm_block_t,
     )
     from .ntt_sharded import ntt_with_hints_local
 
@@ -238,8 +238,8 @@ def _make_local_sp_engine(params, d_coeff: int):
             [pw_bits, _lt_q_chain(pw_bits)], axis=-1
         )
 
-        nbits_v, sel_v, sq_v = _norm_block(v)
-        nbits_s, sel_s, sq_s = _norm_block(sig)
+        nbits_v, sel_v, sq_v = _norm_block_t(v)
+        nbits_s, sel_s, sq_s = _norm_block_t(sig)
         sq = jnp.concatenate([sq_v, sq_s], axis=-1)
         sum_lo = jax.lax.psum(
             jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1), "coeff"
@@ -259,8 +259,8 @@ def _make_local_sp_engine(params, d_coeff: int):
             "v_ntt_t": v_t, "v_ntt_b": v_b, "v_ntt_tail": v_tail,
             "pointwise": pointwise, "pointwise_tail": pointwise_tail,
             "norm_bits_v": nbits_v, "norm_bits_sig": nbits_s,
-            "norm_vals_v": jnp.stack([sel_v, sq_v], axis=-1),
-            "norm_vals_sig": jnp.stack([sel_s, sq_s], axis=-1),
+            "norm_vals_v": jnp.stack([sel_v, sq_v], axis=0),
+            "norm_vals_sig": jnp.stack([sel_s, sq_s], axis=0),
             "bound": bound,
             "pk_ntt": pk_ntt, "hm_ntt": hm_ntt,
         }

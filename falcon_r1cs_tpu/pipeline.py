@@ -92,10 +92,14 @@ class ProverInputPipeline:
             )
             for i in range(0, B, self.max_chunk)
         ]
+        # batch axis is 1 for feature-first segments (NTT hint limbs and
+        # the norm blocks), 0 everywhere else
         seg = {
             k: np.concatenate(
                 [np.asarray(o.seg[k]) for o in outs],
-                axis=1 if k.endswith("_t") else 0,
+                axis=1
+                if k.endswith("_t") or k in ("norm_bits", "norm_vals")
+                else 0,
             )
             for k in outs[0].seg
         }

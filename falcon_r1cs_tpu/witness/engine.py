@@ -94,6 +94,27 @@ def _norm_block(c):
     return bits16, sel, sq
 
 
+def _norm_block_t(c):
+    """_norm_block with the FEATURE axis OUTERMOST: bits16 (16, B, 2n).
+
+    The feature-minor stack (B, 2n, 16) forced XLA into a 0.19 ms layout
+    copy per 1024-batch: a concatenate fusion wants the concat axis
+    outermost ({2,0,1}), the row-major output does not.  Putting the
+    feature axis first makes them agree — the same trick the (L, B, n)
+    NTT hint tensors already use.  Consumers (witness/layout.py, the
+    export_device index tables) read the transposed order."""
+    shifts = jnp.arange(14, dtype=jnp.int32)[:, None, None]
+    bits = jnp.bitwise_and(c[None, :, :] >> shifts, 1).astype(jnp.int8)
+    w_nor = bits[12] * bits[11]
+    w_and = ((1 - bits[13]) * (1 - w_nor)).astype(jnp.int8)
+    sel = jnp.where(w_and == 1, c, Q - c)
+    sq = sel * sel
+    bits16 = jnp.concatenate(
+        [bits, w_nor[None], w_and[None]], axis=0
+    )
+    return bits16, sel, sq
+
+
 def _nor_prefix(bits):
     """kary_or witness values: prefix products of (1-b)."""
     return jnp.cumprod(1 - bits, axis=-1)
@@ -205,8 +226,8 @@ class WitnessBatch:
     v_ntt_tail: jnp.ndarray     # (B, n, 27) int8
     pointwise: jnp.ndarray      # (B, n, 3) int32 [prod | t | c]
     pointwise_tail: jnp.ndarray  # (B, n, 27) int8 bits+chain
-    norm_bits: jnp.ndarray      # (B, 2n, 16) int8 bits|nor|and
-    norm_vals: jnp.ndarray      # (B, 2n, 2) int32 [select | square]
+    norm_bits: jnp.ndarray      # (16, B, 2n) int8 bits|nor|and (feature-first)
+    norm_vals: jnp.ndarray      # (2, B, 2n) int32 [select | square]
     bound: jnp.ndarray          # (B, 50|52) int8
     pk_ntt: jnp.ndarray         # (B, n) public input
     hm_ntt: jnp.ndarray         # (B, n) public input
@@ -255,10 +276,10 @@ def generate_witness_ntt(
         [pw_bits, _lt_q_chain(pw_bits)], axis=-1
     )
 
-    # l2 norm over v || sig
+    # l2 norm over v || sig (feature-major: see _norm_block_t)
     coeffs = jnp.concatenate([v, sig], axis=-1)  # (B, 2n)
-    norm_bits, sel, sq = _norm_block(coeffs)
-    norm_vals = jnp.stack([sel, sq], axis=-1)
+    norm_bits, sel, sq = _norm_block_t(coeffs)
+    norm_vals = jnp.stack([sel, sq], axis=0)
     # exact 37-bit sum in int32 pairs
     sum_lo = jnp.sum(jnp.bitwise_and(sq, 0xFFFF), axis=-1)
     sum_hi = jnp.sum(sq >> 16, axis=-1)

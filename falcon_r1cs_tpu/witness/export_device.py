@@ -51,8 +51,10 @@ def _ntt_layout_indices(n: int):
     idx["pointwise_vals"] = np.ascontiguousarray(pw[:, :3])
     idx["pointwise_tail"] = np.ascontiguousarray(pw[:, 3:])
     nb = idx["norm"].reshape(2 * n, 18)
-    idx["norm_bits"] = np.ascontiguousarray(nb[:, :16])
-    idx["norm_vals"] = np.ascontiguousarray(nb[:, 16:])
+    # transposed: the engine emits norm segments feature-major (B,16,2n),
+    # so the flattened scatter order is (feature, coeff)
+    idx["norm_bits"] = np.ascontiguousarray(nb[:, :16].T)
+    idx["norm_vals"] = np.ascontiguousarray(nb[:, 16:].T)
     # within each (n, 29) mod_q block: slot 0 = t, slot 1 = b, 2.. = tail
     block = idx["sig_ntt"].reshape(n, 29)
     idx["sig_ntt_t"] = np.ascontiguousarray(block[:, 0])
@@ -240,12 +242,16 @@ def packer_ntt(n: int):
         plane0 = plane0.at[:, idx["pointwise_tail"].reshape(-1)].set(
             seg["pointwise_tail"].reshape(B, -1).astype(jnp.int32)
         )
-        plane0 = plane0.at[:, idx["norm_bits"].reshape(-1)].set(
-            seg["norm_bits"].reshape(B, -1).astype(jnp.int32)
-        )
-        plane0 = plane0.at[:, idx["norm_vals"].reshape(-1)].set(
-            seg["norm_vals"].reshape(B, -1)
-        )
+        # norm segments arrive feature-first (16|2, B, 2n): one scatter
+        # per feature row avoids a device transpose
+        for f in range(seg["norm_bits"].shape[0]):
+            plane0 = plane0.at[:, idx["norm_bits"][f]].set(
+                seg["norm_bits"][f].astype(jnp.int32)
+            )
+        for f in range(seg["norm_vals"].shape[0]):
+            plane0 = plane0.at[:, idx["norm_vals"][f]].set(
+                seg["norm_vals"][f]
+            )
         plane0 = plane0.at[:, idx["bound"]].set(
             seg["bound"].astype(jnp.int32)
         )

@@ -52,11 +52,12 @@ def interleave_witness(seg: dict, params: FalconParams) -> np.ndarray:
         ],
         axis=-1,
     )
-    # canonical 18-wide norm block = [bits|nor|and | select, square]
+    # canonical 18-wide norm block = [bits|nor|and | select, square];
+    # the engine emits these feature-first (16|2, B, 2n) — transpose back
     norm = np.concatenate(
         [
-            np.asarray(seg["norm_bits"], dtype=object),
-            np.asarray(seg["norm_vals"], dtype=object),
+            np.asarray(seg["norm_bits"], dtype=object).transpose(1, 2, 0),
+            np.asarray(seg["norm_vals"], dtype=object).transpose(1, 2, 0),
         ],
         axis=-1,
     )
