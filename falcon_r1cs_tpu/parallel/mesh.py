@@ -268,7 +268,9 @@ def _make_local_sp_engine(params, d_coeff: int):
     return local_sp
 
 
-_DUAL_LIMB_KEYS = frozenset({"sp_t", "sn_t", "vp_t", "vn_t"})
+_DUAL_LIMB_KEYS = frozenset(
+    {"sp_t", "sn_t", "vp_t", "vn_t", "pointwise_vals"}
+)
 
 
 @functools.lru_cache(maxsize=None)

@@ -98,7 +98,8 @@ class ProverInputPipeline:
             k: np.concatenate(
                 [np.asarray(o.seg[k]) for o in outs],
                 axis=1
-                if k.endswith("_t") or k in ("norm_bits", "norm_vals")
+                if k.endswith("_t")
+                or k in ("norm_bits", "norm_vals", "pointwise_vals")
                 else 0,
             )
             for k in outs[0].seg

@@ -9,6 +9,7 @@ signature; n = N):
   sig_pos NTT mod_q (n, 29) | sig_neg NTT (n, 29)
   v_pos NTT (n, 29) | v_neg NTT (n, 29)
   pointwise (n, 60): [mul_L, t_L, b_L, 27] | [mul_R, t_R, b_R, 27]
+                     (stored split: vals (6, B, n) i32 + two int8 tails)
   norm squares (4n)
   bound (50 | 52)
 
@@ -92,13 +93,12 @@ def generate_witness_dual(
     t_l, b_l = fast_divmod_q(hm_ntt + vn_b + mul_l)
     mul_r = sp_b * pk_ntt
     t_r, b_r = fast_divmod_q(vp_b + mul_r)
-    pointwise = jnp.concatenate(
-        [
-            mul_l[..., None], t_l[..., None], b_l[..., None], _modq_tail(b_l),
-            mul_r[..., None], t_r[..., None], b_r[..., None], _modq_tail(b_r),
-        ],
-        axis=-1,
-    )
+    # value/bit split (engine.py layout note): 54 of the 60 pointwise
+    # slots are int8 bits/chains; materializing them in a single int32
+    # (B, n, 60) concat cost 0.33 ms of pure HBM writes per 1024-batch
+    pw_vals = jnp.stack([mul_l, t_l, b_l, mul_r, t_r, b_r], axis=0)
+    pw_tail_l = _modq_tail(b_l)
+    pw_tail_r = _modq_tail(b_r)
 
     # norm: squares over v_pos || v_neg || sig_pos || sig_neg
     coeffs = jnp.concatenate([v_pos, v_neg, sig_pos, sig_neg], axis=-1)
@@ -120,7 +120,10 @@ def generate_witness_dual(
         "sn_t": sn_t, "sn_b": sn_b, "sn_tail": _modq_tail(sn_b),
         "vp_t": vp_t, "vp_b": vp_b, "vp_tail": _modq_tail(vp_b),
         "vn_t": vn_t, "vn_b": vn_b, "vn_tail": _modq_tail(vn_b),
-        "pointwise": pointwise, "norm_sq": sq, "bound": bound,
+        "pointwise_vals": pw_vals,        # (6, B, n) int32, feature-first
+        "pointwise_tail_l": pw_tail_l,    # (B, n, 27) int8
+        "pointwise_tail_r": pw_tail_r,
+        "norm_sq": sq, "bound": bound,
         "pk_ntt": pk_ntt, "hm_ntt": hm_ntt,
     }
 
@@ -174,6 +177,13 @@ def interleave_witness_dual(seg: dict, params: FalconParams) -> np.ndarray:
 
     z1, one1 = orth_pair()
     z2, one2 = orth_pair()
+    # re-interleave the 60-wide pointwise block from the split segments
+    pw = np.empty((B, n, 60), dtype=object)
+    vals = o("pointwise_vals")
+    pw[:, :, 0], pw[:, :, 1], pw[:, :, 2] = vals[0], vals[1], vals[2]
+    pw[:, :, 3:30] = o("pointwise_tail_l")
+    pw[:, :, 30], pw[:, :, 31], pw[:, :, 32] = vals[3], vals[4], vals[5]
+    pw[:, :, 33:] = o("pointwise_tail_r")
     parts = [
         o("sig_pos"), o("sig_neg"), o("sig_orth"), z1, one1,
         o("v_pos"), o("v_neg"), o("v_orth"), z2, one2,
@@ -181,7 +191,7 @@ def interleave_witness_dual(seg: dict, params: FalconParams) -> np.ndarray:
         modq_seg("sn_t", "sn_b", "sn_tail"),
         modq_seg("vp_t", "vp_b", "vp_tail"),
         modq_seg("vn_t", "vn_b", "vn_tail"),
-        o("pointwise").reshape(B, -1),
+        pw.reshape(B, -1),
         o("norm_sq"),
         o("bound"),
     ]

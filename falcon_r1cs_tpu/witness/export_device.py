@@ -101,6 +101,11 @@ def packer_dual(n: int):
         idx[k + "_t"] = np.ascontiguousarray(blk[:, 0])
         idx[k + "_b"] = np.ascontiguousarray(blk[:, 1])
         idx[k + "_tail"] = np.ascontiguousarray(blk[:, 2:])
+    # split pointwise sub-blocks: values feature-first, int8 tails
+    pwb = idx["pointwise"].reshape(n, 60)
+    idx["pw_vals"] = np.ascontiguousarray(pwb[:, [0, 1, 2, 30, 31, 32]].T)
+    idx["pw_tail_l"] = np.ascontiguousarray(pwb[:, 3:30])
+    idx["pw_tail_r"] = np.ascontiguousarray(pwb[:, 33:60])
     jidx = {k: jnp.asarray(v) for k, v in idx.items()}
 
     @jax.jit
@@ -128,8 +133,15 @@ def packer_dual(n: int):
             plane0 = plane0.at[:, jidx[tailk].reshape(-1)].set(
                 seg[tailk].reshape(B, -1).astype(jnp.int32)
             )
-        plane0 = plane0.at[:, jidx["pointwise"]].set(
-            seg["pointwise"].reshape(B, -1)
+        for f in range(6):
+            plane0 = plane0.at[:, jidx["pw_vals"][f]].set(
+                seg["pointwise_vals"][f]
+            )
+        plane0 = plane0.at[:, jidx["pw_tail_l"].reshape(-1)].set(
+            seg["pointwise_tail_l"].reshape(B, -1).astype(jnp.int32)
+        )
+        plane0 = plane0.at[:, jidx["pw_tail_r"].reshape(-1)].set(
+            seg["pointwise_tail_r"].reshape(B, -1).astype(jnp.int32)
         )
         plane0 = plane0.at[:, jidx["norm_sq"]].set(seg["norm_sq"])
         plane0 = plane0.at[:, jidx["bound"]].set(seg["bound"].astype(jnp.int32))
