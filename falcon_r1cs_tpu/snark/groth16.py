@@ -194,11 +194,25 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
         r = secrets.randbelow(R)
     if s is None:
         s = secrets.randbelow(R)
-    z = [int(x) % R for x in assignment]
+    native = _native() if use_native else None
+
+    # assignment may be a (N, 4) u64 canonical limb matrix (e.g. derived
+    # from the device packer via points.packed_to_limb_rows): the native
+    # path then runs with ZERO Python bigint conversions.
+    import numpy as _np
+
+    z_is_limbs = isinstance(assignment, _np.ndarray) and assignment.ndim == 2
+    if z_is_limbs and native is None:
+        from .points import limbs_to_int
+
+        assignment = [limbs_to_int(row) for row in assignment]
+        z_is_limbs = False
+    if z_is_limbs:
+        z = _np.ascontiguousarray(assignment, dtype=_np.uint64)
+    else:
+        z = [int(x) % R for x in assignment]
     assert len(z) == compiled.num_variables
     ni = compiled.num_instance
-
-    native = _native() if use_native else None
     h, h_top = witness_map_dispatch(compiled, z, native)
     assert h_top == 0, "assignment does not satisfy the R1CS"
 
@@ -224,7 +238,7 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
         # native wrappers fast-path (n,4) u64 arrays; h is already limbs)
         from .points import ints_to_limbs
 
-        z_sc = ints_to_limbs(z, 4)
+        z_sc = z if z_is_limbs else ints_to_limbs(z, 4)
         zl_sc = z_sc[ni:]
     else:
         z_sc, zl_sc = z, z[ni:]

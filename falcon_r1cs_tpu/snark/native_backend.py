@@ -251,12 +251,17 @@ def witness_map(compiled, z):
     dom: Domain = cache["dom"]
     nc = compiled.num_constraints
     ni = compiled.num_instance
-    try:
-        # wire vectors are < 2^64 in practice; the numpy path needs no
-        # mod (values < 2^64 < r) and skips 79k Python bigint mods
-        z_limbs = ints_to_limbs(np.asarray(z, dtype=np.uint64), 4)
-    except (OverflowError, TypeError, ValueError):
-        z_limbs = ints_to_limbs([int(x) % R for x in z], 4)
+    if isinstance(z, np.ndarray) and z.ndim == 2:
+        # already (N, 4) u64 canonical limb rows (the packed-witness path)
+        z_limbs = np.ascontiguousarray(z, dtype=np.uint64)
+    else:
+        try:
+            # most wire values fit one limb; the numpy path needs no mod
+            # (values < 2^64 < r) and skips 79k Python bigint mods.  The
+            # ~2^147 quotient wires overflow it -> bigint fallback
+            z_limbs = ints_to_limbs(np.asarray(z, dtype=np.uint64), 4)
+        except (OverflowError, TypeError, ValueError):
+            z_limbs = ints_to_limbs([int(x) % R for x in z], 4)
     z_mont = fr_batch_to_mont(z_limbs)
 
     evals = {}

@@ -371,3 +371,32 @@ def test_portable_fallback_build_selftest(tmp_path):
     lib = ctypes.CDLL(str(so))
     lib.g16_selftest.restype = ctypes.c_int
     assert lib.g16_selftest() == 0
+
+
+def test_prove_from_limb_matrix_matches_int_assignment():
+    """prove() accepts a (N, 4) u64 canonical limb matrix (the device
+    packer's form via points.packed_to_limb_rows) and produces the exact
+    proof the Python-int assignment gives."""
+    from falcon_r1cs_tpu.snark.groth16 import SetupToxic, prove, setup, verify
+    from tests.test_snark import _toy_circuit
+
+    compiled, assignment = _toy_circuit()
+    tox = SetupToxic(tau=11, alpha=12, beta=13, gamma=14, delta=15)
+    pk = setup(compiled, toxic=tox)
+    p_int = prove(pk, compiled, assignment, r=21, s=22)
+    limbs = ints_to_limbs([int(x) for x in assignment], 4)
+    p_limb = prove(pk, compiled, limbs, r=21, s=22)
+    assert p_int == p_limb
+    assert verify(pk.vk, [1, 35], p_limb)
+
+
+def test_packed_to_limb_rows_roundtrip():
+    from falcon_r1cs_tpu.snark.points import packed_to_limb_rows
+
+    vals = [0, 1, (1 << 147) - 3, (1 << 64) + 5, 12289]
+    packed = np.zeros((len(vals), 5), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        for k in range(5):
+            packed[i, k] = (v >> (32 * k)) & 0xFFFFFFFF
+    rows = packed_to_limb_rows(packed.view(np.int32))
+    assert [limbs_to_int(r) for r in rows] == vals
