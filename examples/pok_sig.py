@@ -92,10 +92,18 @@ def main():
         save_pk(pk, crs_path)
         print(f"Groth16 setup: {time.time()-t0:.2f}s")
 
-    # prove (pok_sig.rs:36-37)
+    # prove (pok_sig.rs:36-37) — production form: witness limbs straight
+    # from the device packer (no Python bigint round trip)
+    from falcon_r1cs_tpu.snark.points import ints_to_limbs, packed_to_limb_rows
+    from falcon_r1cs_tpu.witness.export_device import packer_ntt
+
     t0 = time.time()
-    proof = prove(pk, compiled, assignment)
-    print(f"Groth16 prove: {time.time()-t0:.2f}s")
+    packed = np.asarray(packer_ntt(params.n)(seg))
+    assignment_limbs = np.concatenate(
+        [ints_to_limbs(public_inputs, 4), packed_to_limb_rows(packed[0])]
+    )
+    proof = prove(pk, compiled, assignment_limbs)
+    print(f"Groth16 prove (device-packed witness): {time.time()-t0:.2f}s")
 
     # verify (pok_sig.rs:39-47)
     t0 = time.time()
