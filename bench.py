@@ -234,7 +234,11 @@ def bench_pipeline(batch=512, n=1024, trials=2):
     )
     jax.block_until_ready(pipe.run_wire(pk_bytes, msgs, sig_bytes).seg)
     best = 0.0
-    for _ in range(trials):
+    single = 0.0
+    # remote-load drift can make t(B) < t(B/4); retry the slope a few
+    # times and fall back to the (pessimistic but honest) single-batch
+    # rate rather than reporting 0
+    for _ in range(trials + 2):
         t0 = time.perf_counter()
         jax.block_until_ready(
             pipe.run_wire(pk_bytes[:b1], msgs[:b1], sig_bytes[:b1]).seg
@@ -243,9 +247,12 @@ def bench_pipeline(batch=512, n=1024, trials=2):
         t0 = time.perf_counter()
         jax.block_until_ready(pipe.run_wire(pk_bytes, msgs, sig_bytes).seg)
         t_big = time.perf_counter() - t0
+        single = max(single, batch / t_big)
         if t_big > t_small:
             best = max(best, (batch - b1) / (t_big - t_small))
-    return best
+        if best:
+            break
+    return best if best else single
 
 
 def bench_groth16(n=512, prove_iters=3):
