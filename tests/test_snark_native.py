@@ -400,3 +400,46 @@ def test_packed_to_limb_rows_roundtrip():
             packed[i, k] = (v >> (32 * k)) & 0xFFFFFFFF
     rows = packed_to_limb_rows(packed.view(np.int32))
     assert [limbs_to_int(r) for r in rows] == vals
+
+
+def test_msm_repeated_point_doubling_and_cancel():
+    """Edge paths of the batch-affine flush: a repeated point in one
+    batch hits the x-collision slow add (doubling), and P + (-P) in the
+    same bucket must cancel to a clean infinity-aware result."""
+    gen = bls.g1_from_affine(bls.G1_GEN)
+    P = bls.g1_to_affine(bls.g1_mul(gen, 7))
+    negP = (P[0], bls.P - P[1])
+    # sixteen copies of P with scalar 1: free write + queued slow
+    # doubling + jbuck overflow all engage
+    pts = [P] * 16
+    arr = G1Array.from_affine_list(pts)
+    got = nb.g1_msm(arr, [1] * 16)
+    want = bls.g1_to_affine(bls.g1_mul(bls.g1_from_affine(P), 16))
+    assert got == want
+    # P + (-P) cancels; plus one survivor to keep the result finite
+    pts2 = [P, negP, bls.G1_GEN]
+    arr2 = G1Array.from_affine_list(pts2)
+    got2 = nb.g1_msm(arr2, [1, 1, 1])
+    assert got2 == bls.G1_GEN
+    # all-cancelling batch -> infinity (None)
+    arr3 = G1Array.from_affine_list([P, negP])
+    assert nb.g1_msm(arr3, [1, 1]) is None
+
+
+def test_msm_scalar_core_matches_ifma(monkeypatch):
+    """The G16_NO_IFMA scalar core and the IFMA core agree on a mixed
+    batch (bits, medium values, full-width scalars, repeats)."""
+    import os
+
+    gen = bls.g1_from_affine(bls.G1_GEN)
+    pts = [bls.g1_to_affine(bls.g1_mul(gen, k + 2)) for k in range(24)]
+    pts[5] = pts[4]  # repeated point
+    scalars = (
+        [1] * 8 + [12289, 4096, 77, 1 << 27] +
+        [rng.randrange(bls.R) for _ in range(10)] + [0, bls.R - 1]
+    )
+    arr = G1Array.from_affine_list(pts)
+    fast = nb.g1_msm(arr, scalars)
+    monkeypatch.setenv("G16_NO_IFMA", "1")
+    slow = nb.g1_msm(arr, scalars)
+    assert fast == slow
