@@ -67,6 +67,69 @@ static inline void limbs52_to_64(const u64 *a, int n52, u64 *o, int n64) {
   memcpy(o, bytes, (size_t)n64 * 8);
 }
 
+/* 8x8 u64 transpose from 8 scattered row pointers (AoS rows -> SoA
+ * cols) — the rows load straight from their source (bucket / point
+ * storage), skipping a staging memcpy per row. */
+static inline void transpose8x8p(const u64 *const in[8], u64 out[8][8]) {
+  __m512i r[8];
+  for (int i = 0; i < 8; i++) r[i] = _mm512_loadu_si512(in[i]);
+  __m512i s[8];
+  for (int i = 0; i < 4; i++) {
+    s[2 * i] = _mm512_unpacklo_epi64(r[2 * i], r[2 * i + 1]);
+    s[2 * i + 1] = _mm512_unpackhi_epi64(r[2 * i], r[2 * i + 1]);
+  }
+  __m512i u[8];
+  const __m512i idx_lo = _mm512_set_epi64(13, 12, 5, 4, 9, 8, 1, 0);
+  const __m512i idx_hi = _mm512_set_epi64(15, 14, 7, 6, 11, 10, 3, 2);
+  u[0] = _mm512_permutex2var_epi64(s[0], idx_lo, s[2]);
+  u[1] = _mm512_permutex2var_epi64(s[1], idx_lo, s[3]);
+  u[2] = _mm512_permutex2var_epi64(s[0], idx_hi, s[2]);
+  u[3] = _mm512_permutex2var_epi64(s[1], idx_hi, s[3]);
+  u[4] = _mm512_permutex2var_epi64(s[4], idx_lo, s[6]);
+  u[5] = _mm512_permutex2var_epi64(s[5], idx_lo, s[7]);
+  u[6] = _mm512_permutex2var_epi64(s[4], idx_hi, s[6]);
+  u[7] = _mm512_permutex2var_epi64(s[5], idx_hi, s[7]);
+  const __m512i idx_a = _mm512_set_epi64(11, 10, 9, 8, 3, 2, 1, 0);
+  const __m512i idx_b = _mm512_set_epi64(15, 14, 13, 12, 7, 6, 5, 4);
+  for (int i = 0; i < 4; i++) {
+    __m512i lo = _mm512_permutex2var_epi64(u[i], idx_a, u[i + 4]);
+    __m512i hi = _mm512_permutex2var_epi64(u[i], idx_b, u[i + 4]);
+    _mm512_storeu_si512(out[i], lo);
+    _mm512_storeu_si512(out[i + 4], hi);
+  }
+}
+
+/* SoA -> AoS transpose storing each lane row through its own pointer
+ * (skip lanes: aim the pointer at a scratch row). */
+static inline void transpose8x8sp(const u64 in[8][8], u64 *const out[8]) {
+  __m512i r[8];
+  for (int i = 0; i < 8; i++) r[i] = _mm512_loadu_si512(in[i]);
+  __m512i s[8];
+  for (int i = 0; i < 4; i++) {
+    s[2 * i] = _mm512_unpacklo_epi64(r[2 * i], r[2 * i + 1]);
+    s[2 * i + 1] = _mm512_unpackhi_epi64(r[2 * i], r[2 * i + 1]);
+  }
+  __m512i u[8];
+  const __m512i idx_lo = _mm512_set_epi64(13, 12, 5, 4, 9, 8, 1, 0);
+  const __m512i idx_hi = _mm512_set_epi64(15, 14, 7, 6, 11, 10, 3, 2);
+  u[0] = _mm512_permutex2var_epi64(s[0], idx_lo, s[2]);
+  u[1] = _mm512_permutex2var_epi64(s[1], idx_lo, s[3]);
+  u[2] = _mm512_permutex2var_epi64(s[0], idx_hi, s[2]);
+  u[3] = _mm512_permutex2var_epi64(s[1], idx_hi, s[3]);
+  u[4] = _mm512_permutex2var_epi64(s[4], idx_lo, s[6]);
+  u[5] = _mm512_permutex2var_epi64(s[5], idx_lo, s[7]);
+  u[6] = _mm512_permutex2var_epi64(s[4], idx_hi, s[6]);
+  u[7] = _mm512_permutex2var_epi64(s[5], idx_hi, s[7]);
+  const __m512i idx_a = _mm512_set_epi64(11, 10, 9, 8, 3, 2, 1, 0);
+  const __m512i idx_b = _mm512_set_epi64(15, 14, 13, 12, 7, 6, 5, 4);
+  for (int i = 0; i < 4; i++) {
+    _mm512_storeu_si512(out[i],
+                        _mm512_permutex2var_epi64(u[i], idx_a, u[i + 4]));
+    _mm512_storeu_si512(out[i + 4],
+                        _mm512_permutex2var_epi64(u[i], idx_b, u[i + 4]));
+  }
+}
+
 /* 8x8 u64 transpose: rows[l][j] (AoS, 8 lanes of 8 limbs) <-> SoA
  * cols[j][l].  Works in both directions (it is an involution). */
 static inline void transpose8x8(const u64 in[8][8], u64 out[8][8]) {
