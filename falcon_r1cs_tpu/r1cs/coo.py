@@ -160,11 +160,16 @@ def cache_dir() -> Path:
 
 
 def _direct_builder(name: str):
-    from .direct import direct_compile_schoolbook, direct_compile_verify_ntt
+    from .direct import (
+        direct_compile_dual_ntt,
+        direct_compile_schoolbook,
+        direct_compile_verify_ntt,
+    )
 
     return {
         "FalconNTTVerificationCircuit": direct_compile_verify_ntt,
         "FalconSchoolBookVerificationCircuit": direct_compile_schoolbook,
+        "FalconDualNTTVerificationCircuit": direct_compile_dual_ntt,
     }.get(name)
 
 

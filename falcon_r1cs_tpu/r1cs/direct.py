@@ -388,6 +388,59 @@ def _bound_region(row0: int, n: int, sq_base: int, sq_stride: int,
 
 
 
+# --- shared region: one in-circuit NTT (n x 30-row mod_q blocks) ----------
+
+
+def _emit_ntt_region(pieces, n: int, row0: int, in_base: int, blk_col: int,
+                     M_obj, O_obj) -> None:
+    """Emit one NTT-conversion region: per output j a dense eq row
+    (one | inputs | t | b) followed by the 29-row less-than-q proof of b.
+    Wire block (global col `blk_col`, stride 29 per coefficient): [t, b,
+    27 ltq].  Shared verbatim by verify-NTT (2 regions) and dual-NTT
+    (4 regions) — the gadget is NTTPolyVar.ntt_circuit + .mod_q either way.
+    """
+    dense = {"a": [], "b": [], "c": []}
+    rows_l, cols_l, vals_l = [], [], []
+    one_nz = np.nonzero(O_obj != 0)[0]
+    rows_l.append(np.asarray(row0 + 30 * one_nz, np.int32))
+    cols_l.append(np.zeros(len(one_nz), np.int32))
+    vals_l.append(O_obj[one_nz])
+    mk_nz = M_obj != 0
+    jj, kk = np.nonzero(mk_nz)
+    rows_l.append((row0 + 30 * jj).astype(np.int32))
+    cols_l.append((in_base + kk).astype(np.int32))
+    vals_l.append(M_obj[jj, kk])
+    j = np.arange(n)
+    rows_l.append((row0 + 30 * j).astype(np.int32))
+    cols_l.append((blk_col + 29 * j).astype(np.int32))      # t
+    vals_l.append(np.full(n, -Q, dtype=object))
+    rows_l.append((row0 + 30 * j).astype(np.int32))
+    cols_l.append((blk_col + 29 * j + 1).astype(np.int32))  # b
+    vals_l.append(np.full(n, -1, dtype=object))
+    d_rows = np.concatenate(rows_l)
+    d_cols = np.concatenate(cols_l)
+    d_vals = np.concatenate([np.asarray(v, object) for v in vals_l])
+    # entries within a dense row must be encoded-ordered: one < inputs
+    # (witness asc) < t < b; sort stably by (row, col) — all cols here
+    # rise with encoded order (one=0, then witnesses ascending)
+    order = np.lexsort((d_cols, d_rows))
+    dense["a"] = (d_rows[order], d_cols[order], d_vals[order])
+    reg = _Region(row0, 30, n)
+    reg.add("b", 0, 0, 0, 1)  # eq row: B = one
+    _ltq_into(reg, 1, blk_col + 1, 29, blk_col + 2, 29)
+    tr = {m: reg.emit(m) for m in ("a", "b", "c")}
+    # merge dense eq rows (row_off 0) with the template rows (1..29):
+    # distinct row indices — stable row sort keeps within-row order
+    ar, ac, av = tr["a"]
+    rows = np.concatenate([dense["a"][0], ar])
+    cols = np.concatenate([dense["a"][1], ac])
+    vals = np.concatenate([dense["a"][2], av.astype(object)])
+    order = np.argsort(rows, kind="stable")
+    pieces["a"].append((rows[order], cols[order], vals[order]))
+    pieces["b"].append(tr["b"][:2] + (tr["b"][2],))
+    pieces["c"].append(tr["c"][:2] + (tr["c"][2],))
+
+
 # --- the verify-with-NTT circuit ------------------------------------------
 
 
@@ -429,50 +482,8 @@ def direct_compile_verify_ntt(n: int) -> CompiledR1CS:
 
     # ---- SIG_NTT / V_NTT ------------------------------------------------
     M_obj, O_obj = ntt_lc_matrix(n)
-    for region_i, (row0, in_base, blk) in enumerate(
-        ((29 * n, g(W_SIG), W_SN), (59 * n, g(W_V), W_VN))
-    ):
-        # dense eq rows: one | inputs | t | b
-        dense = {"a": [], "b": [], "c": []}
-        rows_l, cols_l, vals_l = [], [], []
-        one_nz = np.nonzero(O_obj != 0)[0]
-        rows_l.append(np.asarray(row0 + 30 * one_nz, np.int32))
-        cols_l.append(np.zeros(len(one_nz), np.int32))
-        vals_l.append(O_obj[one_nz])
-        mk_nz = M_obj != 0
-        jj, kk = np.nonzero(mk_nz)
-        rows_l.append((row0 + 30 * jj).astype(np.int32))
-        cols_l.append((in_base + kk).astype(np.int32))
-        vals_l.append(M_obj[jj, kk])
-        j = np.arange(n)
-        rows_l.append((row0 + 30 * j).astype(np.int32))
-        cols_l.append((g(blk) + 29 * j).astype(np.int32))      # t
-        vals_l.append(np.full(n, -Q, dtype=object))
-        rows_l.append((row0 + 30 * j).astype(np.int32))
-        cols_l.append((g(blk) + 29 * j + 1).astype(np.int32))  # b
-        vals_l.append(np.full(n, -1, dtype=object))
-        d_rows = np.concatenate(rows_l)
-        d_cols = np.concatenate(cols_l)
-        d_vals = np.concatenate([np.asarray(v, object) for v in vals_l])
-        # entries within a dense row must be encoded-ordered: one < inputs
-        # (witness asc) < t < b; sort stably by (row, col) — all cols here
-        # rise with encoded order (one=0, then witnesses ascending)
-        order = np.lexsort((d_cols, d_rows))
-        dense["a"] = (d_rows[order], d_cols[order], d_vals[order])
-        reg = _Region(row0, 30, n)
-        reg.add("b", 0, 0, 0, 1)  # eq row: B = one
-        _ltq_into(reg, 1, g(blk) + 1, 29, g(blk) + 2, 29)
-        tr = {m: reg.emit(m) for m in ("a", "b", "c")}
-        # merge dense eq rows (row_off 0) with the template rows (1..29):
-        # distinct row indices — stable row sort keeps within-row order
-        ar, ac, av = tr["a"]
-        rows = np.concatenate([dense["a"][0], ar])
-        cols = np.concatenate([dense["a"][1], ac])
-        vals = np.concatenate([dense["a"][2], av.astype(object)])
-        order = np.argsort(rows, kind="stable")
-        pieces["a"].append((rows[order], cols[order], vals[order]))
-        pieces["b"].append(tr["b"][:2] + (tr["b"][2],))
-        pieces["c"].append(tr["c"][:2] + (tr["c"][2],))
+    for row0, in_base, blk in ((29 * n, g(W_SIG), W_SN), (59 * n, g(W_V), W_VN)):
+        _emit_ntt_region(pieces, n, row0, in_base, g(blk), M_obj, O_obj)
 
     # ---- PW -------------------------------------------------------------
     row0 = 89 * n
@@ -693,6 +704,164 @@ def direct_compile_schoolbook(n: int) -> CompiledR1CS:
             ]
         )
     ).astype(np.int32)
+
+    return CompiledR1CS(
+        num_instance=NI,
+        num_witness=num_wit,
+        num_constraints=nc,
+        field_rows=field_rows,
+        a=_assemble(pieces["a"], NI),
+        b=_assemble(pieces["b"], NI),
+        c=_assemble(pieces["c"], NI),
+    )
+
+
+# --- the dual-NTT circuit ---------------------------------------------------
+
+
+def direct_compile_dual_ntt(n: int) -> CompiledR1CS:
+    """CompiledR1CS for FalconDualNTTVerificationCircuit, emitted directly.
+
+    Hand-derivation of circuits/falcon_dual_ntt.generate_constraints
+    (re-derivation of `falcon_dual_ntt.rs`); bit-identical to the traced
+    compile (tests/test_direct_synthesis.py).
+
+    Witness layout (NI = 2n+1 instance cols; per-dual blocks follow
+    DualPolyVar.alloc_vars order: pos | neg | n disjoint-support muls |
+    is_neq boolean | inverse multiplier):
+      SIG    wires [0, 3n+2)
+      V      wires [3n+2, 6n+4)
+      NTT    wires [6n+4, 122n+4)     4 x 29n: sig_pos, sig_neg, v_pos, v_neg
+      PW     wires [122n+4, 182n+4)   per coeff (stride 60):
+                                      [m1 t1 b1 ltq*27 | m2 t2 b2 ltq*27]
+      SQ     wires [182n+4, 186n+4)   norm squares: v_pos v_neg sig_pos sig_neg
+      BOUND  wires [186n+4, ...)
+
+    Row map:
+      SIG dual  rows [0, n+4)         n muls, booleanity, diff*m=neq (FIELD
+                                      row), diff*(1-neq)=0, Not(neq)==TRUE
+      V dual    rows [n+4, 2n+8)
+      NTT       rows [2n+8, 122n+8)   4 x 30n
+      PW        rows [122n+8, 185n+8) per coeff 63 rows: mul1, eq1, ltq1*29,
+                                      mul2, eq2, ltq2*29, left==right
+      SQ        rows [185n+8, 189n+8)
+      BOUND     rows [189n+8, ...)
+    """
+    params = get_params(n)
+    NI = 2 * n + 1
+    # witness bases
+    W_SIGP, W_SIGN, W_SIGMUL = 0, n, 2 * n
+    SIG_NEQ, SIG_M = 3 * n, 3 * n + 1
+    W_VP, W_VN, W_VMUL = 3 * n + 2, 4 * n + 2, 5 * n + 2
+    V_NEQ, V_M = 6 * n + 2, 6 * n + 3
+    W_NT = 6 * n + 4          # four 29n blocks
+    W_PW = 122 * n + 4        # stride 60
+    W_SQ = 182 * n + 4        # 4n squares
+    W_BD = 186 * n + 4
+    bw = 50 if n == 512 else 52
+    num_wit = W_BD + bw
+    R_NTT = 2 * n + 8
+    R_PW = 122 * n + 8
+    R_SQ = 185 * n + 8
+    R_BD = 189 * n + 8
+    nc = R_BD + (52 if n == 512 else 54)
+
+    g = lambda w: NI + w
+    pieces = {"a": [], "b": [], "c": []}
+
+    def emit(reg: _Region):
+        for m in ("a", "b", "c"):
+            pieces[m].append(reg.emit(m))
+
+    # ---- dual allocations (sig then v) ------------------------------------
+    for row0, (wp, wn, wm, neq, minv) in (
+        (0, (W_SIGP, W_SIGN, W_SIGMUL, SIG_NEQ, SIG_M)),
+        (n + 4, (W_VP, W_VN, W_VMUL, V_NEQ, V_M)),
+    ):
+        # n disjoint-support mul rows: pos_i * neg_i = mul_i
+        reg = _Region(row0, 1, n)
+        reg.add("a", 0, g(wp), 1, 1)
+        reg.add("b", 0, g(wn), 1, 1)
+        reg.add("c", 0, g(wm), 1, 1)
+        emit(reg)
+        # acc = sum mul_i ; acc.is_zero().enforce_equal(TRUE):
+        tail = _Region(row0 + n, 0, 1)
+        tail.add("a", 0, 0, 0, 1)            # booleanity (1-neq)*neq = 0
+        tail.add("a", 0, g(neq), 0, -1)
+        tail.add("b", 0, g(neq), 0, 1)
+        for k in range(n):                   # acc * m = neq  (FIELD row)
+            tail.add("a", 1, g(wm) + k, 0, 1)
+        tail.add("b", 1, g(minv), 0, 1)
+        tail.add("c", 1, g(neq), 0, 1)
+        for k in range(n):                   # acc * (1 - neq) = 0
+            tail.add("a", 2, g(wm) + k, 0, 1)
+        tail.add("b", 2, 0, 0, 1)
+        tail.add("b", 2, g(neq), 0, -1)
+        tail.add("a", 3, 0, 0, 1)            # Not(neq) == TRUE
+        tail.add("a", 3, g(neq), 0, -1)
+        tail.add("b", 3, 0, 0, 1)
+        tail.add("c", 3, 0, 0, 1)
+        emit(tail)
+
+    # ---- four NTT regions: sig_pos, sig_neg, v_pos, v_neg ------------------
+    M_obj, O_obj = ntt_lc_matrix(n)
+    for k, in_w in enumerate((W_SIGP, W_SIGN, W_VP, W_VN)):
+        _emit_ntt_region(
+            pieces, n, R_NTT + k * 30 * n, g(in_w),
+            g(W_NT + k * 29 * n), M_obj, O_obj,
+        )
+
+    # ---- pointwise two-sided congruence ------------------------------------
+    # b wires of the four NTT outputs (stride 29, offset +1 past t)
+    SP_B = g(W_NT) + 1                    # sig_pos
+    SN_B = g(W_NT + 29 * n) + 1           # sig_neg
+    VP_B = g(W_NT + 2 * 29 * n) + 1       # v_pos
+    VN_B = g(W_NT + 3 * 29 * n) + 1       # v_neg
+    pw = g(W_PW)
+    reg = _Region(R_PW, 63, n)
+    # r0: m1 = sig_neg_ntt_i * pk_i
+    reg.add("a", 0, SN_B, 29, 1)
+    reg.add("b", 0, 1, 1, 1)              # pk instance col 1+i
+    reg.add("c", 0, pw + 0, 60, 1)
+    # r1: hm_i + v_neg_ntt_i + m1 - t1*q - b1 = 0
+    reg.add("a", 1, 1 + n, 1, 1)          # hm instance col 1+n+i
+    reg.add("a", 1, VN_B, 29, 1)
+    reg.add("a", 1, pw + 0, 60, 1)
+    reg.add("a", 1, pw + 1, 60, -Q)
+    reg.add("a", 1, pw + 2, 60, -1)
+    reg.add("b", 1, 0, 0, 1)
+    # r2..r30: b1 < q
+    _ltq_into(reg, 2, pw + 2, 60, pw + 3, 60)
+    # r31: m2 = sig_pos_ntt_i * pk_i
+    reg.add("a", 31, SP_B, 29, 1)
+    reg.add("b", 31, 1, 1, 1)
+    reg.add("c", 31, pw + 30, 60, 1)
+    # r32: v_pos_ntt_i + m2 - t2*q - b2 = 0
+    reg.add("a", 32, VP_B, 29, 1)
+    reg.add("a", 32, pw + 30, 60, 1)
+    reg.add("a", 32, pw + 31, 60, -Q)
+    reg.add("a", 32, pw + 32, 60, -1)
+    reg.add("b", 32, 0, 0, 1)
+    # r33..r61: b2 < q
+    _ltq_into(reg, 33, pw + 32, 60, pw + 33, 60)
+    # r62: b1 == b2
+    reg.add("a", 62, pw + 2, 60, 1)
+    reg.add("a", 62, pw + 32, 60, -1)
+    reg.add("b", 62, 0, 0, 1)
+    emit(reg)
+
+    # ---- norm squares (l2_norm_var_without_range_check order) --------------
+    for k, in_w in enumerate((W_VP, W_VN, W_SIGP, W_SIGN)):
+        reg = _Region(R_SQ + k * n, 1, n)
+        reg.add("a", 0, g(in_w), 1, 1)
+        reg.add("b", 0, g(in_w), 1, 1)
+        reg.add("c", 0, g(W_SQ) + k * n, 1, 1)
+        emit(reg)
+
+    # ---- bound --------------------------------------------------------------
+    emit(_bound_region(R_BD, n, g(W_SQ), 1, 4 * n, g(W_BD)))
+
+    field_rows = np.asarray([n + 1, 2 * n + 5], dtype=np.int32)
 
     return CompiledR1CS(
         num_instance=NI,

@@ -12,6 +12,7 @@ import falcon_r1cs_tpu as fr
 from falcon_r1cs_tpu.falcon import make_instance
 from falcon_r1cs_tpu.r1cs.coo import compile_circuit
 from falcon_r1cs_tpu.r1cs.direct import (
+    direct_compile_dual_ntt,
     direct_compile_schoolbook,
     direct_compile_verify_ntt,
     ntt_lc_matrix,
@@ -53,12 +54,21 @@ def test_direct_schoolbook_512_bit_identical(inst512):
     _assert_identical(ref, direct_compile_schoolbook(512))
 
 
+def test_direct_dual_ntt_512_bit_identical(inst512):
+    ref = compile_circuit(
+        fr.FalconDualNTTVerificationCircuit, inst512, cache=False,
+        use_direct=False,
+    )
+    _assert_identical(ref, direct_compile_dual_ntt(512))
+
+
 @pytest.mark.slow
 def test_direct_1024_bit_identical():
     inst = make_instance(np.random.default_rng(0), fr.get_params(1024))
     for cls, builder in (
         (fr.FalconNTTVerificationCircuit, direct_compile_verify_ntt),
         (fr.FalconSchoolBookVerificationCircuit, direct_compile_schoolbook),
+        (fr.FalconDualNTTVerificationCircuit, direct_compile_dual_ntt),
     ):
         ref = compile_circuit(cls, inst, cache=False, use_direct=False)
         _assert_identical(ref, builder(1024))
