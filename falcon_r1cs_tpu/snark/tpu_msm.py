@@ -3,26 +3,37 @@
 Pippenger over jax primitives, built on the batched Montgomery Fq limb
 arithmetic in ops/fq_mont.py:
 
-  per 12-bit window:  sort points by bucket digit  ->  SEGMENTED
-  inclusive scan (Hillis-Steele over log2(n) lax.scan steps; the combine
-  op is the complete Jacobian group law) so each bucket's sum lands on
-  its segment end  ->  scatter ends into the dense bucket array  ->
-  suffix scan + total (the classic  sum_d d*B_d = sum of suffix sums
-  identity)  ->  fold the 22 windows with 12 doublings between them.
+  per 12-bit window:  sort points by bucket digit  ->  WORK-EFFICIENT
+  reduce-by-key (`_bucket_reduce`): a binary merge tree over the sorted
+  run costing exactly ONE complete-Jacobian point_add per merge (n-1
+  adds total) whose per-merge "bridge" sum closes the segment spanning
+  the merge boundary; every bucket's total is scattered exactly once,
+  at the unique merge where both its ends become interior  ->  chunked
+  serial suffix scans (`_weighted_bucket_sum`, ~3*nb adds) for the
+  classic  sum_d d*B_d = sum of suffix sums  identity  ->  fold the 22
+  windows with 12 doublings between them.
 
-All control flow is data-independent (sorts, rolls, where-selects) and
-every scan is a lax.scan over levels with a single vectorized combine in
-the body, so the whole MSM compiles to a small XLA program regardless of
-n.  Sharding the point axis batch-splits the MSM across a mesh.
+An earlier revision used Hillis-Steele segmented scans for both phases;
+those are log-depth but WORK-INEFFICIENT — n*log2(n) point adds per
+window (2.2M at n=2^17 vs the tree's 131k) plus nb*log2(nb) for the
+bucket phase — a ~17x work inflation over host Pippenger that the tree
+removes.  All control flow remains data-independent (sorts, strided
+slices, where-selects, drop-mode scatters), so the whole MSM compiles
+to one XLA program per (n, window).  Sharding the point axis
+batch-splits the MSM across a mesh (`g1_msm_tpu_sharded`).
+
+Montgomery-domain conversion of the input points runs ON DEVICE (one
+`to_mont` mul per coordinate inside the jit); the host side is pure
+vectorized numpy bit-slicing of the u64 limb arrays — no Python bigint
+loops at prover scale.
 
 Measured tradeoff (ENGINEERING.md "TPU MSM"): one v5e chip runs the
 Montgomery core at ~7.9 M modmul/s device-profiled (int8-MXU constant
 products, 2.9x the pure-VPU fold; peak at B=2^14, falling to 5.4 M by
-B=2^18) vs ~28 M modmul/s for the 4-core OpenMP C backend, and the
-Hillis-Steele scans cost a log2(n) work factor the host's sequential
-buckets don't pay — the default prover therefore keeps the C backend,
-and this module is the correctness-validated scale-out path
-(differentially tested: tests/test_tpu_msm.py).
+B=2^18) vs ~28 M scalar / ~385 M IFMA modmul/s for the 4-core OpenMP C
+backend — the default prover therefore keeps the C backend, and this
+module is the correctness-validated scale-out path (differentially
+tested: tests/test_tpu_msm.py).
 """
 
 from __future__ import annotations
@@ -116,36 +127,170 @@ def point_add(p1, p2):
     return (X3, Y3, Z3, is_inf3)
 
 
-def _hs_scan(pt, seg_ids, length: int):
-    """Segmented inclusive scan (Hillis-Steele): after the pass, position
-    i holds the sum of its segment's elements up to i.  seg_ids=None for
-    an unsegmented scan.  lax.scan over log2(length) levels; each level is
-    one full-width point_add behind a validity mask."""
+def _sel_pt(cond, a, b):
+    """Pointwise select between two point tuples by a (m,) bool."""
+    import jax.numpy as jnp
+
+    return (
+        jnp.where(cond[..., None], a[0], b[0]),
+        jnp.where(cond[..., None], a[1], b[1]),
+        jnp.where(cond[..., None], a[2], b[2]),
+        jnp.where(cond, a[3], b[3]),
+    )
+
+
+def _scatter_pt(bufs, key, val, valid, nb: int):
+    """Write point rows into the dense bucket arrays; invalid rows are
+    redirected out of range and dropped (each bucket is written at most
+    once across the whole reduction, so plain set scatters suffice)."""
+    import jax.numpy as jnp
+
+    bx, by, bz, binf = bufs
+    idx = jnp.where(valid, key, nb).astype(jnp.int32)
+    vx, vy, vz, vinf = val
+    bx = bx.at[idx].set(vx, mode="drop")
+    by = by.at[idx].set(vy, mode="drop")
+    bz = bz.at[idx].set(vz, mode="drop")
+    binf = binf.at[idx].set(vinf, mode="drop")
+    return (bx, by, bz, binf)
+
+
+def _bucket_reduce(pt, keys, nb: int):
+    """Dense bucket sums of a KEY-SORTED point run, in n-1 point adds.
+
+    Binary merge tree.  Each node summarizes a contiguous range by
+    (H, T, kf, kl): the sum of its first segment, the sum of its last
+    segment, and the first/last keys (sortedness makes kf == kl imply a
+    single-segment node, so H == T == total there).  Merging left|right
+    costs exactly one point_add — bridge = T_left + H_right, the sum of
+    the segment spanning the boundary; every other combination reduces
+    to a select on it:
+
+      merged.H = (left single-segment and bridge same-key) ? bridge : left.H
+      merged.T = (right single-segment and same-key) ? bridge : right.T
+
+    A segment's total is EMITTED (scattered to its bucket) at the unique
+    merge where both its ends become interior: the bridged segment when
+    neither side is single-segment, the left tail / right head when the
+    boundary keys differ; the root's H and T segments are emitted last.
+    Each bucket is therefore written at most once, so the scatters are
+    plain last-write sets with drop-mode masking.
+
+    Work: exactly one point_add per merge at halving widths — n-1 adds
+    total, vs n*log2(n) for a segmented Hillis-Steele scan.
+    """
+    import jax.numpy as jnp
+
+    bufs = (
+        jnp.zeros((nb, fq.NL), jnp.int32),
+        jnp.zeros((nb, fq.NL), jnp.int32),
+        jnp.zeros((nb, fq.NL), jnp.int32),
+        jnp.ones((nb,), bool),
+    )
+    H = T = pt
+    kf = kl = keys
+    m = keys.shape[0]
+    while m > 1:
+        lH = tuple(a[0::2] for a in H)
+        rH = tuple(a[1::2] for a in H)
+        lT = tuple(a[0::2] for a in T)
+        rT = tuple(a[1::2] for a in T)
+        lkf, rkf = kf[0::2], kf[1::2]
+        lkl, rkl = kl[0::2], kl[1::2]
+        bridge = point_add(lT, rH)
+        same = lkl == rkf
+        ls = lkf == lkl  # left node spans a single segment
+        rs = rkf == rkl
+        H = _sel_pt(same & ls, bridge, lH)
+        T = _sel_pt(same & rs, bridge, rT)
+        # left-tail/bridged segment: complete unless it still touches an
+        # edge of the merged node ( ~ls rules out the left edge; same&rs
+        # would extend it to the right edge)
+        valA = _sel_pt(same, bridge, lT)
+        bufs = _scatter_pt(bufs, lkl, valA, ~ls & ~(same & rs), nb)
+        # right-head segment: its left end becomes interior here; it is
+        # complete iff it already ended inside the right node
+        bufs = _scatter_pt(bufs, rkf, rH, ~same & ~rs, nb)
+        kf, kl = lkf, rkl
+        m //= 2
+    bufs = _scatter_pt(bufs, kf, H, jnp.ones((1,), bool), nb)
+    bufs = _scatter_pt(bufs, kl, T, kl != kf, nb)
+    return bufs
+
+
+def _tree_sum(pt):
+    """Total of a (power-of-two width) point batch by pairwise folding."""
+    m = pt[0].shape[0]
+    while m > 1:
+        pt = point_add(
+            tuple(a[0::2] for a in pt), tuple(a[1::2] for a in pt)
+        )
+        m //= 2
+    return pt
+
+
+def _weighted_bucket_sum(bufs, nb: int):
+    """sum_{d>=1} d * B_d  =  sum_{t>=1} S_t  with  S_t = sum_{d>=t} B_d.
+
+    The suffix prefix-sums S over buckets nb-1..1 run as chunked serial
+    scans (work-efficient: ~3*nb point adds total, vs nb*log2(nb) twice
+    for scan-based suffixing): an inclusive lax.scan across C columns at
+    width R (rows = chunks of the reversed bucket order), an exclusive
+    width-1 scan over the R row totals, then one wide add to combine and
+    a pairwise tree for the final total."""
     import jax
     import jax.numpy as jnp
 
-    levels = max(1, (length - 1).bit_length())
-    shifts = jnp.asarray([1 << k for k in range(levels)], dtype=jnp.int32)
-    pos = jnp.arange(length)
+    bx, by, bz, binf = bufs
+    rev = (bx[:0:-1], by[:0:-1], bz[:0:-1], binf[:0:-1])  # buckets nb-1..1
+    L = nb - 1
+    bits = max(2, (L - 1).bit_length())
+    cb = (bits + 1) // 2
+    C = 1 << cb
+    R = 1 << (bits - cb)
+    pad = R * C - L
 
-    def step(carry, shift):
-        X, Y, Z, inf = carry
-        sx = jnp.roll(X, shift, axis=0)
-        sy = jnp.roll(Y, shift, axis=0)
-        sz = jnp.roll(Z, shift, axis=0)
-        sinf = jnp.roll(inf, shift, axis=0)
-        valid = pos >= shift
-        if seg_ids is not None:
-            valid = valid & (seg_ids == jnp.roll(seg_ids, shift, axis=0))
-        ax, ay, az, ainf = point_add((sx, sy, sz, sinf), (X, Y, Z, inf))
-        sel = lambda a, b: jnp.where(valid[..., None], a, b)
-        out = (
-            sel(ax, X), sel(ay, Y), sel(az, Z), jnp.where(valid, ainf, inf)
-        )
-        return out, None
+    def padded(x, fill):
+        f = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, f], axis=0)
 
-    out, _ = jax.lax.scan(step, pt, shifts)
-    return out
+    arr = (
+        padded(rev[0], 0), padded(rev[1], 0), padded(rev[2], 0),
+        padded(rev[3], True),
+    )
+    # flattened index i = r*C + c; scan over columns at width R
+    cols = tuple(
+        jnp.moveaxis(x.reshape((R, C) + x.shape[1:]), 1, 0) for x in arr
+    )
+
+    def step(acc, col):
+        acc = point_add(acc, col)
+        return acc, acc
+
+    # identity carries derived from the data (not fresh constants) so the
+    # varying-manual-axis tag survives under shard_map
+    def inf_like(pt):
+        return (pt[0] * 0, pt[1] * 0, pt[2] * 0, pt[3] | True)
+
+    _, P = jax.lax.scan(step, inf_like(tuple(c[0] for c in cols)), cols)
+    rowtot = tuple(t[-1] for t in P)  # P: (C, R, ...)
+
+    def step2(acc, row):
+        return point_add(acc, row), acc
+
+    rows = tuple(t[:, None] for t in rowtot)  # (R, 1, ...)
+    _, offs = jax.lax.scan(
+        step2, inf_like(tuple(r[0] for r in rows)), rows
+    )  # exclusive
+    offs_full = tuple(jnp.repeat(t[:, 0], C, axis=0) for t in offs)
+    P_flat = tuple(
+        jnp.moveaxis(t, 0, 1).reshape((R * C,) + t.shape[2:]) for t in P
+    )
+    S = point_add(offs_full, P_flat)
+    live = jnp.arange(R * C) < L
+    S = (S[0], S[1], S[2], S[3] | ~live)
+    tot = _tree_sum(S)
+    return tuple(t[0] for t in tot)
 
 
 @functools.lru_cache(maxsize=None)
@@ -161,32 +306,15 @@ def _msm_jit(n: int, window: int = WINDOW):
         order = jnp.argsort(digits)
         d = digits[order]
         pt = (X[order], Y[order], Z[order], inf[order] | (d == 0))
-        sx, sy, sz, sinf = _hs_scan(pt, d, n)
-        is_end = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), bool)])
-        keep = is_end & ~sinf & (d > 0)
-        idx = jnp.where(keep, d, 0)  # non-kept rows all write zeros at 0
-        bx = jnp.zeros((nb, fq.NL), jnp.int32)
-        by = jnp.zeros((nb, fq.NL), jnp.int32)
-        bz = jnp.zeros((nb, fq.NL), jnp.int32)
-        binf = jnp.ones((nb,), bool)
-        zero_rows = jnp.zeros_like(sx)
-        bx = bx.at[idx].set(jnp.where(keep[..., None], sx, zero_rows))
-        by = by.at[idx].set(jnp.where(keep[..., None], sy, zero_rows))
-        bz = bz.at[idx].set(jnp.where(keep[..., None], sz, zero_rows))
-        binf = binf.at[idx].set(~keep)
-        # sum_d d*B_d = sum over t>=1 of (sum_{d>=t} B_d): suffix sums via
-        # an unsegmented scan on the reversed buckets, then one more scan
-        # to total positions 0..nb-2
-        rev = (bx[::-1], by[::-1], bz[::-1], binf[::-1])
-        run = _hs_scan(rev, None, nb)
-        partial = tuple(
-            x[: nb - 1] if x.ndim == 1 else x[: nb - 1] for x in run
-        )
-        tot = _hs_scan(partial, None, nb - 1)
-        wsum = tuple(x[-1] for x in tot)
+        bufs = _bucket_reduce(pt, d, nb)
+        wsum = _weighted_bucket_sum(bufs, nb)
         return (X, Y, Z, inf), wsum
 
-    def msm(digits_all, X, Y, Z, inf):
+    def msm(digits_all, Xs, Ys, inf):
+        # standard-form canonical limbs -> Montgomery domain, on device
+        X = fq.to_mont(Xs)
+        Y = fq.to_mont(Ys)
+        Z = jnp.broadcast_to(jnp.asarray(_Z_ONE), X.shape)
         _, wsums = jax.lax.scan(
             one_window, (X, Y, Z, inf), digits_all
         )  # wsums leaves: (nw, ...), window w ascending
@@ -209,17 +337,49 @@ def _msm_jit(n: int, window: int = WINDOW):
     return jax.jit(msm)
 
 
+LIMB12 = 12
+# (NL,) int32 limbs of 1 in the Montgomery domain (Jacobian Z of an
+# affine input)
+_Z_ONE = fq.int_to_limbs([fq.R_MONT % Q381])[0]
+
+
+def _u64_rows_to_limb12(rows: np.ndarray, nl: int = None) -> np.ndarray:
+    """(n, k) u64 little-endian -> (n, nl) int32 12-bit limbs.
+
+    Pure vectorized bit-slicing — no Python bigints; with the on-device
+    `to_mont`, this is the entire host cost of point preparation."""
+    if nl is None:
+        nl = fq.NL
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    n, k = rows.shape
+    out = np.zeros((n, nl), dtype=np.int32)
+    for l in range(nl):
+        bit = LIMB12 * l
+        i, r = divmod(bit, 64)
+        if i >= k:
+            break
+        v = rows[:, i] >> np.uint64(r)
+        if r + LIMB12 > 64 and i + 1 < k:
+            v = v | (rows[:, i + 1] << np.uint64(64 - r))
+        out[:, l] = (v & np.uint64((1 << LIMB12) - 1)).astype(np.int32)
+    return out
+
+
 def _window_digits(scalars_u64: np.ndarray, window: int = WINDOW) -> np.ndarray:
-    """(n, 4) u64 -> (nw, n) int32 window digits (host side)."""
+    """(n, 4) u64 -> (nw, n) int32 window digits (host side, vectorized)."""
+    sc = np.ascontiguousarray(scalars_u64, dtype=np.uint64)
     nw = (255 + window - 1) // window
-    vals = [
-        int(r[0]) | int(r[1]) << 64 | int(r[2]) << 128 | int(r[3]) << 192
-        for r in scalars_u64
-    ]
-    out = np.zeros((nw, len(vals)), dtype=np.int32)
+    out = np.zeros((nw, sc.shape[0]), dtype=np.int32)
+    mask = np.uint64((1 << window) - 1)
     for w in range(nw):
-        sh = w * window
-        out[w] = [(v >> sh) & ((1 << window) - 1) for v in vals]
+        bit = w * window
+        i, r = divmod(bit, 64)
+        if i >= sc.shape[1]:
+            break
+        v = sc[:, i] >> np.uint64(r)
+        if r + window > 64 and i + 1 < sc.shape[1]:
+            v = v | (sc[:, i + 1] << np.uint64(64 - r))
+        out[w] = (v & mask).astype(np.int32)
     return out
 
 
@@ -251,33 +411,41 @@ def g1_msm_tpu(points, scalars, window: int | None = None):
             [digits, np.zeros((digits.shape[0], n_pad - n), np.int32)], axis=1
         )
 
-    x_int, y_int = [], []
-    for i in range(n):
-        if points.inf[i]:
-            x_int.append(0)
-            y_int.append(0)
-        else:
-            pt = points[i]
-            x_int.append(pt[0] * fq.R_MONT % Q381)
-            y_int.append(pt[1] * fq.R_MONT % Q381)
-    x_int += [0] * (n_pad - n)
-    y_int += [0] * (n_pad - n)
-    X = jnp.asarray(fq.int_to_limbs(x_int))
-    Y = jnp.asarray(fq.int_to_limbs(y_int))
-    Z = jnp.asarray(fq.int_to_limbs([fq.R_MONT % Q381] * n_pad))
-    inf = jnp.asarray(
-        np.concatenate(
-            [points.inf.astype(bool), np.ones((n_pad - n,), bool)]
-        )
-    )
-
+    Xs, Ys, inf = _points_std_limbs(points, n_pad)
     ox, oy, oz, oinf = (
         np.asarray(t)
-        for t in _msm_jit(n_pad, window)(jnp.asarray(digits), X, Y, Z, inf)
+        for t in _msm_jit(n_pad, window)(jnp.asarray(digits), Xs, Ys, inf)
     )
     if bool(oinf):
         return None
     return _jac_mont_to_affine(ox, oy, oz)
+
+
+def _points_std_limbs(points, n_pad: int):
+    """G1Array -> device 12-bit-limb standard-form coordinate tensors +
+    infinity flags, padded to n_pad with identities.  Cached on the array
+    object: the prover reuses the same CRS queries for every proof, so
+    the (vectorized, but O(n)) host bit-slicing runs once per key."""
+    import jax.numpy as jnp
+
+    cache = getattr(points, "_tpu_limb_cache", None)
+    if cache is not None and cache[0] == n_pad:
+        return cache[1]
+    n = len(points)
+    xs = _u64_rows_to_limb12(points.xs)
+    ys = _u64_rows_to_limb12(points.ys)
+    pad = np.zeros((n_pad - n, fq.NL), np.int32)
+    Xs = jnp.asarray(np.concatenate([xs, pad], axis=0))
+    Ys = jnp.asarray(np.concatenate([ys, pad], axis=0))
+    inf = jnp.asarray(
+        np.concatenate([points.inf.astype(bool), np.ones(n_pad - n, bool)])
+    )
+    out = (Xs, Ys, inf)
+    try:
+        points._tpu_limb_cache = (n_pad, out)
+    except AttributeError:
+        pass
+    return out
 
 
 def _jac_mont_to_affine(ox, oy, oz):
@@ -329,39 +497,23 @@ def g1_msm_tpu_sharded(points, scalars, window: int | None = None,
     digits = np.concatenate(
         [digits, np.zeros((nw, n_pad - n), np.int32)], axis=1
     )
-    x_int, y_int = [], []
-    for i in range(n):
-        if points.inf[i]:
-            x_int.append(0)
-            y_int.append(0)
-        else:
-            pt = points[i]
-            x_int.append(pt[0] * fq.R_MONT % Q381)
-            y_int.append(pt[1] * fq.R_MONT % Q381)
-    x_int += [0] * (n_pad - n)
-    y_int += [0] * (n_pad - n)
-    X = jnp.asarray(fq.int_to_limbs(x_int))
-    Y = jnp.asarray(fq.int_to_limbs(y_int))
-    Z = jnp.asarray(fq.int_to_limbs([fq.R_MONT % Q381] * n_pad))
-    inf = jnp.asarray(
-        np.concatenate([points.inf.astype(bool), np.ones(n_pad - n, bool)])
-    )
+    Xs, Ys, inf = _points_std_limbs(points, n_pad)
 
     mesh = Mesh(np.asarray(devices), ("pts",))
     core = _msm_jit(per, window)
 
-    def shard_body(dg, x, y, z, nf):
-        px, py, pz, pinf = core(dg, x, y, z, nf)
+    def shard_body(dg, x, y, nf):
+        px, py, pz, pinf = core(dg, x, y, nf)
         return px[None], py[None], pz[None], pinf[None]
 
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(None, "pts"), P("pts"), P("pts"), P("pts"), P("pts")),
+        in_specs=(P(None, "pts"), P("pts"), P("pts"), P("pts")),
         out_specs=(P("pts"), P("pts"), P("pts"), P("pts")),
     )
     pX, pY, pZ, pI = (
-        np.asarray(t) for t in sharded(jnp.asarray(digits), X, Y, Z, inf)
+        np.asarray(t) for t in sharded(jnp.asarray(digits), Xs, Ys, inf)
     )
     acc = None
     for d in range(D):
