@@ -37,7 +37,7 @@ from .limbs import (
 def _semi_norm(x):
     """One parallel carry round: (x & 0xFFFF) + shift_up(x >> 16).
 
-    Limbs stay in [-3, 2^16 + 2] (see ops/pallas_ntt_v3.py for the bound
+    Limbs stay in [-3, 2^16 + 2] (see tools/pallas_ntt_v3.py for the bound
     derivation), which keeps limb * s inside int32 for the next stage while
     preserving the redundant value exactly -- and replaces the 11-step
     sequential carry chain with two whole-tensor passes, cutting the XLA

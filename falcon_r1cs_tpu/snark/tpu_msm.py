@@ -190,6 +190,7 @@ def _bucket_reduce(pt, keys, nb: int):
     H = T = pt
     kf = kl = keys
     m = keys.shape[0]
+    assert m & (m - 1) == 0, "_bucket_reduce requires power-of-two length"
     while m > 1:
         lH = tuple(a[0::2] for a in H)
         rH = tuple(a[1::2] for a in H)
@@ -221,6 +222,7 @@ def _bucket_reduce(pt, keys, nb: int):
 def _tree_sum(pt):
     """Total of a (power-of-two width) point batch by pairwise folding."""
     m = pt[0].shape[0]
+    assert m & (m - 1) == 0, "_tree_sum requires power-of-two length"
     while m > 1:
         pt = point_add(
             tuple(a[0::2] for a in pt), tuple(a[1::2] for a in pt)
@@ -424,13 +426,18 @@ def g1_msm_tpu(points, scalars, window: int | None = None):
 def _points_std_limbs(points, n_pad: int):
     """G1Array -> device 12-bit-limb standard-form coordinate tensors +
     infinity flags, padded to n_pad with identities.  Cached on the array
-    object: the prover reuses the same CRS queries for every proof, so
-    the (vectorized, but O(n)) host bit-slicing runs once per key."""
+    object (a dict keyed by n_pad, so alternating paddings don't thrash):
+    the prover reuses the same CRS queries for every proof, so the
+    (vectorized, but O(n)) host bit-slicing runs once per key.
+
+    Assumes the G1Array is IMMUTABLE after first use here (G1Array never
+    mutates xs/ys/inf in place anywhere in this package); if a caller ever
+    rewrites those arrays it must drop `_tpu_limb_cache` itself."""
     import jax.numpy as jnp
 
     cache = getattr(points, "_tpu_limb_cache", None)
-    if cache is not None and cache[0] == n_pad:
-        return cache[1]
+    if cache is not None and n_pad in cache:
+        return cache[n_pad]
     n = len(points)
     xs = _u64_rows_to_limb12(points.xs)
     ys = _u64_rows_to_limb12(points.ys)
@@ -442,7 +449,9 @@ def _points_std_limbs(points, n_pad: int):
     )
     out = (Xs, Ys, inf)
     try:
-        points._tpu_limb_cache = (n_pad, out)
+        if cache is None:
+            cache = points._tpu_limb_cache = {}
+        cache[n_pad] = out
     except AttributeError:
         pass
     return out

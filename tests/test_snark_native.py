@@ -227,6 +227,7 @@ def test_falcon512_groth16_end_to_end():
     assert not verify(pk.vk, bad, proof)
 
 
+@pytest.mark.slow
 def test_falcon512_dual_ntt_groth16_end_to_end():
     """Groth16 over the DUAL-NTT circuit: the SNARK layer is
     circuit-generic — any CompiledR1CS + matching engine witness proves

@@ -98,6 +98,7 @@ def test_point_add_matches_host():
         assert _from_jac_limbs(out, i) == want, i
 
 
+@pytest.mark.slow
 def test_msm_small_window_matches_host():
     n = 8
     ks = [secrets.randbelow(1000) + 1 for _ in range(n)]
@@ -142,6 +143,7 @@ def test_msm_all_zero_is_infinity():
     assert tpu_msm.g1_msm_tpu(arr, [0, 0, 0, 0], window=4) is None
 
 
+@pytest.mark.slow
 def test_msm_sharded_matches_single():
     """Point-axis sharded MSM across the 8-device virtual mesh equals the
     single-device result (and the host reduction)."""

@@ -1,4 +1,9 @@
-"""Pallas limb-NTT v3: whole-tensor butterflies with parallel semi-carries.
+"""Pallas limb-NTT v3 EXPERIMENT (tool-gated, not part of the package).
+
+Whole-tensor butterflies with parallel semi-carries.  Kept under tools/
+because the remote Mosaic compiler OOMs on this kernel shape (see
+ENGINEERING.md); the fused fori/scratch kernel in
+falcon_r1cs_tpu/ops/pallas_ntt.py is the production default.
 
 Improvements over pallas_ntt.py (kept for reference/tests):
   * state is one (L=12, blk, n) tensor; each stage is ~13 whole-tensor ops
@@ -22,9 +27,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..params import FalconParams, get_params
-from .limbs import LIMB_BITS, LIMB_MASK, divmod_q, normalize
-from .pallas_ntt import _stage_tables
+from falcon_r1cs_tpu.params import FalconParams, get_params
+from falcon_r1cs_tpu.ops.limbs import LIMB_BITS, LIMB_MASK, divmod_q, normalize
+from falcon_r1cs_tpu.ops.pallas_ntt import _stage_tables
 
 V3_LIMBS = 12
 
