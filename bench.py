@@ -294,6 +294,33 @@ def bench_groth16(n=512, prove_iters=3):
         proof = prove(pk, compiled, assignment)
     rate = prove_iters / (time.perf_counter() - t0)
     assert verify(pk.vk, list(cs.instance_values), proof)
+    _GROTH16_CTX.update(pk=pk, compiled=compiled, assignment=assignment,
+                        instance=list(cs.instance_values))
+    return rate
+
+
+_GROTH16_CTX: dict = {}
+
+
+def bench_groth16_batch(K=16):
+    """Batched proving rate (prove_batch, one CRS x K assignments — the
+    falcon-aggregate-sig shape).  Reuses bench_groth16's warmed pk and
+    assignment; the K scalar vectors are value-identical (per-proof MSM
+    cost is value-independent at equal bit-width), with distinct
+    blinding r/s.  tools/bench_prove_batch.py measures the same with K
+    distinct engine-generated witnesses."""
+    from falcon_r1cs_tpu.snark import prove_batch, verify
+
+    if not _GROTH16_CTX:
+        bench_groth16()
+    pk = _GROTH16_CTX["pk"]
+    compiled = _GROTH16_CTX["compiled"]
+    assignment = _GROTH16_CTX["assignment"]
+    assignments = [assignment] * K
+    t0 = time.perf_counter()
+    proofs = prove_batch(pk, compiled, assignments)
+    rate = K / (time.perf_counter() - t0)
+    assert verify(pk.vk, _GROTH16_CTX["instance"], proofs[-1])
     return rate
 
 
@@ -367,6 +394,7 @@ def main():
         ("direct_synthesis_cns_per_sec", bench_direct_synthesis, 30),
         ("hash_to_point_per_sec", lambda: bench_hash_to_point() or 0, 30),
         ("groth16_proves_per_sec", bench_groth16, 90),
+        ("groth16_batch16_proves_per_sec", bench_groth16_batch, 60),
         ("dual_ntt_witnesses_per_sec", bench_dual, 150),
         ("schoolbook_witnesses_per_sec", bench_schoolbook, 150),
         # two fresh XLA compiles through the tunnel dominate (~280 s);

@@ -20,6 +20,7 @@ from .groth16 import (  # noqa: F401
     SetupToxic,
     VerifyingKey,
     prove,
+    prove_batch,
     setup,
     verify,
 )

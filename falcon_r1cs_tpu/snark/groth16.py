@@ -248,6 +248,13 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
     gc_l = g1msm(pk.l_query, zl_sc)
     gc_h = g1msm(pk.h_query, h)
 
+    return _assemble(pk, native, ga, gb1, gb2, gc_l, gc_h, r, s)
+
+
+def _assemble(pk: ProvingKey, native, ga, gb1, gb2, gc_l, gc_h, r: int,
+              s: int) -> Proof:
+    """Final proof assembly from the five MSM results (shared by prove
+    and prove_batch)."""
     delta1 = g1_from_affine(pk.delta_g1)
 
     # the handful of single-point scalar muls in the final assembly are
@@ -293,6 +300,70 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
     return Proof(
         a=g1_to_affine(a_jac), b=g2_to_affine(b_jac), c=g1_to_affine(c_jac)
     )
+
+
+def prove_batch(pk: ProvingKey, compiled, assignments, rs=None, ss=None,
+                use_native: bool = True) -> list:
+    """K proofs over ONE proving key — the falcon-aggregate-sig batch
+    shape (`/root/reference/falcon-aggregate-sig/src/main.rs:1-3` is the
+    reference's stub for exactly this intent; the witness side is
+    pipeline.py, this is the proof side).
+
+    All K proofs share the same CRS point arrays, so the five MSMs per
+    proof become five BATCHED MSMs with (K, n) scalar matrices: one
+    Montgomery point conversion, one digit-recode buffer, and a
+    K x window x chunk OpenMP task grid amortized over the batch
+    (native/groth16_native.c g1_msm_multi_pre / g2_msm_multi).
+
+    assignments: list of K wire vectors (each an int sequence or an
+    (N, 4) u64 canonical limb matrix).  rs/ss override blinding
+    randomness for deterministic tests.  Returns a list of K Proofs.
+    """
+    import numpy as _np
+
+    K = len(assignments)
+    native = _native() if use_native else None
+    if rs is None:
+        rs = [secrets.randbelow(R) for _ in range(K)]
+    if ss is None:
+        ss = [secrets.randbelow(R) for _ in range(K)]
+    if native is None:
+        return [
+            prove(pk, compiled, a, r=rs[k], s=ss[k], use_native=False)
+            for k, a in enumerate(assignments)
+        ]
+
+    from .points import ints_to_limbs
+
+    ni = compiled.num_instance
+    z_rows = []
+    for a in assignments:
+        if isinstance(a, _np.ndarray) and a.ndim == 2:
+            z_rows.append(_np.ascontiguousarray(a, dtype=_np.uint64))
+        else:
+            z_rows.append(ints_to_limbs([int(x) % R for x in a], 4))
+        assert len(z_rows[-1]) == compiled.num_variables
+    # witness maps (each call is OpenMP-parallel inside; h differs per k)
+    hs = []
+    for z in z_rows:
+        h, h_top = native.witness_map(compiled, z)
+        assert h_top == 0, "assignment does not satisfy the R1CS"
+        hs.append(h)
+    z_sc = _np.ascontiguousarray(_np.stack(z_rows))
+    zl_sc = _np.ascontiguousarray(z_sc[:, ni:])
+    h_sc = _np.ascontiguousarray(_np.stack(hs))
+
+    gas = native.g1_msm_multi(pk.a_query, z_sc)
+    gb1s = native.g1_msm_multi(pk.b_g1_query, z_sc)
+    gb2s = native.g2_msm_multi(pk.b_g2_query, z_sc)
+    gc_ls = native.g1_msm_multi(pk.l_query, zl_sc)
+    gc_hs = native.g1_msm_multi(pk.h_query, h_sc)
+
+    return [
+        _assemble(pk, native, gas[k], gb1s[k], gb2s[k], gc_ls[k], gc_hs[k],
+                  rs[k], ss[k])
+        for k in range(K)
+    ]
 
 
 def verify(vk: VerifyingKey, instance, proof: Proof) -> bool:

@@ -59,6 +59,10 @@ def _load() -> ctypes.CDLL:
     for fn in (lib.g1_msm, lib.g2_msm, lib.g1_msm_pre):
         fn.argtypes = [_U64P, _U64P, _U8P, _U64P, ctypes.c_long, _U64P, _U64P]
         fn.restype = ctypes.c_int
+    for fn in (lib.g1_msm_multi_pre, lib.g2_msm_multi):
+        fn.argtypes = [_U64P, _U64P, _U8P, _U64P, ctypes.c_long,
+                       ctypes.c_long, _U64P, _U64P, _U8P]
+        fn.restype = ctypes.c_int
     lib.g1_to_mont.argtypes = [_U64P, _U64P, ctypes.c_long, _U64P, _U64P]
     lib.fr_fft.argtypes = [_U64P, ctypes.c_long, _U64P, ctypes.c_int]
     lib.fr_scale_powers.argtypes = [_U64P, ctypes.c_long, _U64P, ctypes.c_int]
@@ -129,15 +133,7 @@ def g1_msm(points: G1Array, scalars):
     lib = _load()
     sc = _scalars_to_limbs(scalars)
     assert len(sc) == len(points)
-    mont = getattr(points, "_mont", None)
-    if mont is None:
-        n = len(points)
-        mx = np.empty((n, 6), dtype=np.uint64)
-        my = np.empty((n, 6), dtype=np.uint64)
-        lib.g1_to_mont(_p64(points.xs), _p64(points.ys), n, _p64(mx),
-                       _p64(my))
-        mont = points._mont = (mx, my)
-    mx, my = mont
+    mx, my = _mont_cache(points)
     ox = np.empty(6, dtype=np.uint64)
     oy = np.empty(6, dtype=np.uint64)
     rc = lib.g1_msm_pre(
@@ -147,6 +143,78 @@ def g1_msm(points: G1Array, scalars):
     if rc:
         return None
     return (limbs_to_int(ox), limbs_to_int(oy))
+
+
+def _mont_cache(points: G1Array):
+    mont = getattr(points, "_mont", None)
+    if mont is None:
+        lib = _load()
+        n = len(points)
+        mx = np.empty((n, 6), dtype=np.uint64)
+        my = np.empty((n, 6), dtype=np.uint64)
+        lib.g1_to_mont(_p64(points.xs), _p64(points.ys), n, _p64(mx),
+                       _p64(my))
+        mont = points._mont = (mx, my)
+    return mont
+
+
+def g1_msm_multi(points: G1Array, scalars_multi) -> list:
+    """K MSMs over ONE G1 point set — the batched Groth16 prover's shape
+    (every proof reuses the same CRS query points, so the Montgomery
+    conversion, digit recode buffers, and the K x window x chunk OpenMP
+    task grid amortize across the batch).
+
+    scalars_multi: (K, n, 4) u64 limb array (or a list of K per-proof
+    scalar sequences).  Returns a list of K affine (x, y) tuples / None.
+    """
+    lib = _load()
+    if isinstance(scalars_multi, np.ndarray) and scalars_multi.ndim == 3:
+        sc = np.ascontiguousarray(scalars_multi, dtype=np.uint64)
+    else:
+        sc = np.stack([_scalars_to_limbs(s) for s in scalars_multi])
+    K, n = sc.shape[0], sc.shape[1]
+    assert n == len(points)
+    mx, my = _mont_cache(points)
+    oxs = np.empty((K, 6), dtype=np.uint64)
+    oys = np.empty((K, 6), dtype=np.uint64)
+    oinf = np.empty(K, dtype=np.uint8)
+    lib.g1_msm_multi_pre(
+        _p64(mx), _p64(my), points.inf.ctypes.data_as(_U8P), _p64(sc),
+        n, K, _p64(oxs), _p64(oys), oinf.ctypes.data_as(_U8P),
+    )
+    return [
+        None if oinf[k] else (limbs_to_int(oxs[k]), limbs_to_int(oys[k]))
+        for k in range(K)
+    ]
+
+
+def g2_msm_multi(points: G2Array, scalars_multi) -> list:
+    """K G2 MSMs over one point set (the batched B2 MSM); one point
+    Montgomery conversion per call.  Returns K affine pairs / None."""
+    lib = _load()
+    if isinstance(scalars_multi, np.ndarray) and scalars_multi.ndim == 3:
+        sc = np.ascontiguousarray(scalars_multi, dtype=np.uint64)
+    else:
+        sc = np.stack([_scalars_to_limbs(s) for s in scalars_multi])
+    K, n = sc.shape[0], sc.shape[1]
+    assert n == len(points)
+    oxs = np.empty((K, 12), dtype=np.uint64)
+    oys = np.empty((K, 12), dtype=np.uint64)
+    oinf = np.empty(K, dtype=np.uint8)
+    lib.g2_msm_multi(
+        _p64(points.xs), _p64(points.ys), points.inf.ctypes.data_as(_U8P),
+        _p64(sc), n, K, _p64(oxs), _p64(oys), oinf.ctypes.data_as(_U8P),
+    )
+    out = []
+    for k in range(K):
+        if oinf[k]:
+            out.append(None)
+            continue
+        out.append((
+            (limbs_to_int(oxs[k][:6]), limbs_to_int(oxs[k][6:])),
+            (limbs_to_int(oys[k][:6]), limbs_to_int(oys[k][6:])),
+        ))
+    return out
 
 
 def g2_msm(points: G2Array, scalars):

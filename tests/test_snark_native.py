@@ -183,6 +183,59 @@ def test_native_groth16_identical_to_python():
     assert verify(pk_n.vk, [1, 35], proof_n)
 
 
+def test_msm_multi_matches_single():
+    """K-vector batched MSM (the prove_batch shape) vs K single MSMs:
+    mixed narrow bit-scalars and full-width scalars (exercises the
+    max-over-K nw_eff), an all-zero vector (infinity result), and
+    repeated scalars (Jacobian overflow path)."""
+    n = 40
+    seed = [rng.randrange(bls.R) for _ in range(n)]
+    pts = msm.g1_normalize_batch(msm.g1_fixed_base(bls.G1_GEN).mul_batch(seed))
+    arr = G1Array.from_affine_list(pts)
+    vectors = [
+        [rng.randrange(bls.R) for _ in range(n)],        # full width
+        [0] * n,                                         # infinity
+        [rng.randrange(2) for _ in range(n)],            # bits
+        [7] * n,                                         # bucket storm
+        [rng.randrange(1 << 20) for _ in range(n)],      # narrow
+    ]
+    got = nb.g1_msm_multi(arr, vectors)
+    for k, sc in enumerate(vectors):
+        assert got[k] == nb.g1_msm(arr, sc), f"g1 k={k}"
+
+    pts2 = msm.g2_normalize_batch(
+        msm.g2_fixed_base(bls.G2_GEN).mul_batch(seed[:10])
+    )
+    arr2 = G2Array.from_affine_list(pts2)
+    vecs2 = [v[:10] for v in vectors]
+    got2 = nb.g2_msm_multi(arr2, vecs2)
+    for k, sc in enumerate(vecs2):
+        assert got2[k] == nb.g2_msm(arr2, sc), f"g2 k={k}"
+
+
+def test_prove_batch_identical_to_single():
+    """prove_batch == K independent proves, point-for-point (same r/s)."""
+    from falcon_r1cs_tpu.snark.groth16 import prove_batch
+
+    compiled, _ = _toy()
+    pk = setup(compiled, toxic=SetupToxic(101, 102, 103, 104, 105))
+    zs, insts = [], []
+    for x in (3, 4, 5):
+        out = (x**3 + x + 5) % bls.R
+        zs.append([1, out, x, x * x % bls.R, x**3 % bls.R])
+        insts.append([1, out])
+    rs, ss = [7, 9, 11], [8, 10, 12]
+    proofs = prove_batch(pk, compiled, zs, rs=rs, ss=ss)
+    for k, z in enumerate(zs):
+        single = prove(pk, compiled, z, r=rs[k], s=ss[k])
+        assert proofs[k] == single, f"k={k}"
+        assert verify(pk.vk, insts[k], proofs[k])
+    # limb-matrix assignments take the same path as the device packer
+    z_limbs = [ints_to_limbs(z, 4) for z in zs]
+    proofs2 = prove_batch(pk, compiled, z_limbs, rs=rs, ss=ss)
+    assert proofs2 == proofs
+
+
 def test_pk_save_load_roundtrip(tmp_path):
     compiled, z = _toy()
     pk = setup(compiled, toxic=SetupToxic(3, 4, 5, 6, 7))
