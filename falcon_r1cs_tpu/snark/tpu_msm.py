@@ -339,6 +339,120 @@ def _msm_jit(n: int, window: int = WINDOW):
     return jax.jit(msm)
 
 
+# HBM lane budget for the K-fold MSM: kc simultaneous lanes of n_pad
+# points each.  Peak HLO-temp is ~4 G per 2^16 lanes (measured: K=4 x
+# n_pad=2^16 hit 15.9 G on the 16 G v5e), so 2^17 lanes ~ 8 G leaves
+# headroom for the sort/scatter temps.
+_MULTI_LANE_BUDGET = 1 << 17
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_multi_jit(n: int, K: int, kc: int, window: int = WINDOW):
+    """K MSMs over ONE point set (the batched Groth16 prove shape): the
+    per-window sort/reduce pipeline vmapped over the K digit rows, with
+    the point tensors closed over (uploaded and Montgomery-converted
+    once).  Scalars differ per proof so the sort cannot amortize, but the
+    point conversion, upload, and the elementwise modmul work batch into
+    K-fold wider tensors (better VPU utilization than K dispatches).
+
+    The K axis is evaluated kc lanes at a time (lax.map over K//kc
+    groups, vmap inside) so peak HLO-temp memory scales with kc*n, not
+    K*n — a full-width vmap at K=4 x 2^16 points overflowed the 16 G
+    v5e HBM by 158 M."""
+    import jax
+    import jax.numpy as jnp
+
+    assert K % kc == 0, (K, kc)
+    nb = 1 << window
+    nw = (255 + window - 1) // window
+
+    def msm_multi(digits_all, Xs, Ys, inf):
+        # digits_all: (nw, K, n)
+        X = fq.to_mont(Xs)
+        Y = fq.to_mont(Ys)
+        Z = jnp.broadcast_to(jnp.asarray(_Z_ONE), X.shape)
+
+        def one_window_k(digits):
+            order = jnp.argsort(digits)
+            d = digits[order]
+            pt = (X[order], Y[order], Z[order], inf[order] | (d == 0))
+            bufs = _bucket_reduce(pt, d, nb)
+            return _weighted_bucket_sum(bufs, nb)
+
+        def one_window(carry, digits_w):  # digits_w: (K, n)
+            grouped = digits_w.reshape(K // kc, kc, n)
+            out = jax.lax.map(
+                lambda g: jax.vmap(one_window_k)(g), grouped
+            )
+            out = tuple(x.reshape((K,) + x.shape[2:]) for x in out)
+            return carry, out
+
+        _, wsums = jax.lax.scan(one_window, 0, digits_all)
+        # wsums leaves: (nw, K, ...); Horner fold broadcasts over K
+        total0 = tuple(x[nw - 1] for x in wsums)
+        rest = tuple(x[nw - 2 :: -1] for x in wsums)
+
+        def fold(total, nxt):
+            total = jax.lax.fori_loop(
+                0, window, lambda _, p: point_double(p), total
+            )
+            return point_add(total, nxt), None
+
+        total, _ = jax.lax.scan(fold, total0, rest)
+        return total
+
+    return jax.jit(msm_multi)
+
+
+def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None):
+    """K MSMs over one G1Array; returns a list of K affine points / None.
+    The K-fold retest shape of VERDICT r2 Next #1(b): same CRS points,
+    (K, n) scalar matrix."""
+    import jax.numpy as jnp
+
+    from .points import G1Array, ints_to_limbs
+
+    if window is None:
+        window = WINDOW
+    assert isinstance(points, G1Array)
+    n = len(points)
+    n_pad = max(8, 1 << (n - 1).bit_length())
+    rows = []
+    for sc in scalars_multi:
+        if isinstance(sc, np.ndarray) and sc.dtype == np.uint64:
+            rows.append(np.ascontiguousarray(sc))
+        else:
+            rows.append(ints_to_limbs([int(s) % FR_R for s in sc], 4))
+    K = len(rows)
+    kc = max(1, min(K, _MULTI_LANE_BUDGET // n_pad))
+    K_run = ((K + kc - 1) // kc) * kc  # pad K to a multiple of kc
+    digits = np.stack(
+        [_window_digits(r, window) for r in rows]
+        + [np.zeros_like(_window_digits(rows[0], window))]
+        * (K_run - K),
+        axis=1,
+    )  # (nw, K_run, n)
+    if n_pad > n:
+        digits = np.concatenate(
+            [digits, np.zeros(digits.shape[:2] + (n_pad - n,), np.int32)],
+            axis=2,
+        )
+    Xs, Ys, inf = _points_std_limbs(points, n_pad)
+    ox, oy, oz, oinf = (
+        np.asarray(t)
+        for t in _msm_multi_jit(n_pad, K_run, kc, window)(
+            jnp.asarray(digits), Xs, Ys, inf
+        )
+    )
+    out = []
+    for k in range(K):
+        if bool(oinf[k]):
+            out.append(None)
+        else:
+            out.append(_jac_mont_to_affine(ox[k], oy[k], oz[k]))
+    return out
+
+
 LIMB12 = 12
 # (NL,) int32 limbs of 1 in the Montgomery domain (Jacobian Z of an
 # affine input)

@@ -144,6 +144,27 @@ def test_msm_all_zero_is_infinity():
 
 
 @pytest.mark.slow
+def test_msm_multi_matches_single_tpu():
+    """K-fold batched MSM (g1_msm_tpu_multi, the prove_batch shape)
+    vs per-k g1_msm_tpu: full-width, bits, all-zero (infinity), and
+    repeated-scalar vectors over one 8-point set."""
+    n = 8
+    gen = bls.g1_from_affine(bls.G1_GEN)
+    pts = [bls.g1_to_affine(bls.g1_mul(gen, k + 2)) for k in range(n)]
+    pts[5] = None
+    arr = G1Array.from_affine_list(pts)
+    vectors = [
+        [secrets.randbelow(bls.R) for _ in range(n)],
+        [0] * n,
+        [secrets.randbelow(2) for _ in range(n)],
+        [7] * n,
+    ]
+    got = tpu_msm.g1_msm_tpu_multi(arr, vectors, window=4)
+    for k, sc in enumerate(vectors):
+        assert got[k] == tpu_msm.g1_msm_tpu(arr, sc, window=4), f"k={k}"
+
+
+@pytest.mark.slow
 def test_msm_sharded_matches_single():
     """Point-axis sharded MSM across the 8-device virtual mesh equals the
     single-device result (and the host reduction)."""

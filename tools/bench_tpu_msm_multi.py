@@ -1,0 +1,62 @@
+"""K-fold TPU MSM at the Groth16 H-query shape (VERDICT r2 Next #1b).
+
+Runs g1_msm_tpu_multi over the falcon-512 h_query points (n_pad = 2^17)
+with K full-width scalar vectors and reports ms/MSM + effective modmul/s,
+against the host C backend's number for the same shape.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_tpu_msm_multi.py [K] [iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import falcon_r1cs_tpu.snark.bls12_381 as bls
+from falcon_r1cs_tpu.r1cs.coo import cache_dir
+from falcon_r1cs_tpu.snark import native_backend as nb
+from falcon_r1cs_tpu.snark import tpu_msm
+from falcon_r1cs_tpu.snark.groth16 import load_pk
+from falcon_r1cs_tpu.snark.points import ints_to_limbs
+
+
+def main():
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pk = load_pk(cache_dir() / "FalconNTTVerificationCircuit_512.pk.npz")
+    pts = pk.h_query
+    n = len(pts)
+    rng = np.random.default_rng(1)
+    scalars = [
+        ints_to_limbs(
+            [int.from_bytes(rng.bytes(32), "little") % bls.R
+             for _ in range(n)], 4,
+        )
+        for _ in range(K)
+    ]
+
+    got = tpu_msm.g1_msm_tpu_multi(pts, scalars)  # warm (compile)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        got = tpu_msm.g1_msm_tpu_multi(pts, scalars)
+    dt = (time.perf_counter() - t0) / iters
+    # correctness spot-check vs the host backend (first + last vector)
+    if nb.available():
+        assert got[0] == nb.g1_msm(pts, scalars[0])
+        assert got[-1] == nb.g1_msm(pts, scalars[-1])
+        t0 = time.perf_counter()
+        host = nb.g1_msm_multi(pts, np.stack(scalars))
+        t_host = time.perf_counter() - t0
+        assert host == got
+        print(f"host msm_multi K={K}: {t_host:6.2f}s "
+              f"({t_host/K*1e3:7.1f} ms/MSM)")
+    nw = (255 + tpu_msm.WINDOW - 1) // tpu_msm.WINDOW
+    # ~16 Fq muls per complete Jacobian add, n*nw adds per MSM (sort and
+    # bucket phases excluded -> conservative modmul estimate)
+    modmul = 16 * n * nw * K / dt
+    print(f"tpu  msm_multi K={K}: {dt:6.2f}s ({dt/K*1e3:7.1f} ms/MSM, "
+          f"~{modmul/1e6:.1f}M modmul/s)")
+
+
+if __name__ == "__main__":
+    main()
