@@ -497,3 +497,46 @@ def test_msm_scalar_core_matches_ifma(monkeypatch):
     monkeypatch.setenv("G16_NO_IFMA", "1")
     slow = nb.g1_msm(arr, scalars)
     assert fast == slow
+
+
+def test_msm_c16_half_digit_recode():
+    """Regression: at window width c=16 (MSMs over >= 2^19 points — every
+    >= 2^20-domain circuit's h_query, e.g. schoolbook-1024) the signed
+    recode must never emit the digit +half = +32768: it wraps the int16
+    digit buffer to -32768 with carry 0, silently negating that window's
+    contribution.  Scalars engineered so windows hit d == half exactly
+    under the old `d > half` carry rule; sparse so the test stays fast."""
+    base = [bls.g1_to_affine(bls.g1_mul(bls.g1_from_affine(bls.G1_GEN), k))
+            for k in range(2, 10)]
+    m = len(base)
+    n = 1 << 19  # msm_window_bits(2^19) == 16
+    blk = G1Array.from_affine_list(base)
+    arr = G1Array(np.tile(blk.xs, (n // m, 1)), np.tile(blk.ys, (n // m, 1)),
+                  np.zeros(n, dtype=np.uint8))
+    sc = np.zeros((n, 4), dtype=np.uint64)
+    # d == half at window 0; at window 1; at window 0 with carry-in from
+    # a lower window (0xFFFF + ... no: carry into w1 making raw+1 == half);
+    # and a dense all-halves pattern exercising the carry chain
+    tricky = {
+        0: 1 << 15,
+        1: (1 << 15) << 16,
+        2: 0xFFFF | ((1 << 15) - 1) << 16,  # w0 carries, w1 becomes half
+        3: int.from_bytes(b"\x00\x80" * 16, "little") % bls.R,
+        4: 12345,
+    }
+    expect_sums = [0] * m
+    for i, s in tricky.items():
+        sc[i] = np.frombuffer(
+            (s % bls.R).to_bytes(32, "little"), dtype=np.uint64)
+        expect_sums[i % m] = (expect_sums[i % m] + s) % bls.R
+    got = nb.g1_msm(arr, sc)
+    acc = None
+    for j, s in enumerate(expect_sums):
+        if s == 0:
+            continue
+        term = bls.g1_mul(bls.g1_from_affine(base[j]), s)
+        acc = term if acc is None else bls.g1_add(acc, term)
+    assert got == bls.g1_to_affine(acc)
+    # and through the K-fold entry point (shares msm_recode)
+    got_multi = nb.g1_msm_multi(arr, sc[None])
+    assert got_multi == [got]
