@@ -157,13 +157,23 @@ def tree_leaf_sigmas(tree) -> list[float]:
 # ffSampling
 # --------------------------------------------------------------------------
 
+def _draw_z(rng, center: float, sigma: float) -> int:
+    """Leaf SamplerZ dispatch: a numpy Generator runs the spec-shaped
+    sampler (falcon/sampler.py); a falcon.spec_rng.SpecSampler (anything
+    exposing .sample_z) runs the spec-EXACT ChaCha20+RCDT SamplerZ —
+    the KAT-ready flag path of falcon/spec_rng.py."""
+    if hasattr(rng, "sample_z"):
+        return rng.sample_z(center, sigma)
+    return sample_z_ccs(rng, center, sigma)
+
+
 def _ffsampling(t0, t1, tree: FfTree, rng) -> tuple[np.ndarray, np.ndarray]:
     """Spec Algorithm 11: sample integer-vector FFTs (z0, z1) with
     z ~ D_{Z^2n, sigma, t} along the tree."""
     if t0.shape[0] == 1:
-        z1 = sample_z_ccs(rng, t1[0].real, tree.child1)
+        z1 = _draw_z(rng, t1[0].real, tree.child1)
         t0b = t0[0] + (t1[0] - z1) * tree.l[0]
-        z0 = sample_z_ccs(rng, t0b.real, tree.child0)
+        z0 = _draw_z(rng, t0b.real, tree.child0)
         return (
             np.array([z0], dtype=np.complex128),
             np.array([z1], dtype=np.complex128),

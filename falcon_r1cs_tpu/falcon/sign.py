@@ -47,6 +47,8 @@ def _sample_z(rng: np.random.Generator, center: float, sigma: float) -> float:
     coverage: tests/test_samplers.py."""
     if sigma < 0.05:
         return float(np.rint(center))
+    if hasattr(rng, "sample_z"):  # spec-exact SamplerZ (falcon/spec_rng)
+        return float(rng.sample_z(center, sigma))
     from .sampler import sample_z_ccs
 
     return float(sample_z_ccs(rng, center, sigma))
@@ -181,11 +183,25 @@ class Signer:
                 break  # deterministic: retrying cannot help
         raise ValueError(f"signature norm {norm} exceeds bound")
 
-    def sign_with_seed(self, seed: bytes, msg: bytes) -> Signature:
+    def sign_with_seed(
+        self, seed: bytes, msg: bytes, spec_exact: bool = False
+    ) -> Signature:
         """Deterministic signing (falcon-rust `sign_with_seed` parity,
         `/root/reference/falcon-r1cs/src/circuits/falcon_ntt.rs:136-138`):
-        the nonce is derived as SHAKE256(seed || msg)[:40]."""
+        the nonce is derived as SHAKE256(seed || msg)[:40].
+
+        spec_exact=True (the KAT-ready flag, round-2 VERDICT #6) runs
+        randomized ffSampling driven by the spec's ChaCha20 PRNG + exact
+        RCDT SamplerZ seeded from SHAKE256(seed): bit-reproducible per
+        spec given the seed, GPV-distributed, and byte-comparable against
+        official vectors once available (falcon/spec_rng.py)."""
         nonce = hashlib.shake_256(seed + msg).digest(NONCE_LEN)
+        if spec_exact:
+            from .spec_rng import SpecSampler
+
+            return self.sign(
+                msg, nonce, rng=SpecSampler(seed, self.params.n)
+            )
         return self.sign(msg, nonce)
 
 

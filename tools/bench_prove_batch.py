@@ -10,6 +10,12 @@ Run: PYTHONPATH=/root/repo python tools/bench_prove_batch.py [K] [iters]
 import sys
 import time
 
+import jax
+
+# host-C prove bench: keep witness generation on CPU so the bench never
+# contends with (or aborts) other users of the single tunneled TPU
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import falcon_r1cs_tpu as fr

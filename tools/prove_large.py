@@ -15,6 +15,13 @@ path is host C.)
 import sys
 import time
 
+import jax
+
+# the axon sitecustomize pins jax_platforms=axon; env JAX_PLATFORMS=cpu
+# alone does NOT override it — force the config before any device use
+# (witness generation at batch 1 is fast on CPU; the prove path is host C)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import falcon_r1cs_tpu as fr
