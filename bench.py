@@ -148,22 +148,32 @@ def bench_schoolbook(batch=128, n=1024):
     return rate
 
 
-def bench_constraint_synthesis(n=1024):
+def bench_constraint_synthesis(n=1024, trials=3):
     """Constraints synthesized per second by the trace layer
-    (Falcon-1024 verify-with-NTT, 162,870 constraints)."""
+    (Falcon-1024 verify-with-NTT, 162,870 constraints).
+
+    Best-of-N: this host's shared CPU clock makes single-shot rates
+    drift up to 2x (BENCH_r01 74.5k vs BENCH_r02 33.4k was pure drift —
+    an interleaved A/B of the two trees measured both at ~100k cns/s,
+    round-3 PROGRESS)."""
     from falcon_r1cs_tpu import ConstraintSystem, FalconNTTVerificationCircuit
     from falcon_r1cs_tpu.falcon import make_instance
     from falcon_r1cs_tpu.params import get_params
 
     rng = np.random.default_rng(1)
     inst = make_instance(rng, get_params(n))
-    t0 = time.perf_counter()
-    cs = ConstraintSystem()
-    FalconNTTVerificationCircuit.build_circuit(inst).generate_constraints(cs)
-    dt = time.perf_counter() - t0
     expected = {512: 81460, 1024: 162870}[n]
-    assert cs.num_constraints == expected
-    return cs.num_constraints / dt
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        cs = ConstraintSystem()
+        FalconNTTVerificationCircuit.build_circuit(inst).generate_constraints(
+            cs
+        )
+        dt = time.perf_counter() - t0
+        assert cs.num_constraints == expected
+        best = max(best, cs.num_constraints / dt)
+    return best
 
 
 def bench_direct_synthesis(n=1024, trials=3):
