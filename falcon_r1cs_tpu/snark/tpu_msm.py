@@ -220,7 +220,8 @@ def _bucket_reduce(pt, keys, nb: int):
 
 
 def _tree_sum(pt):
-    """Total of a (power-of-two width) point batch by pairwise folding."""
+    """Fold a (power-of-two) leading axis by pairwise point_add.  Works
+    at any rank: leaves are (m, ..., NL) coords + (m, ...) inf flags."""
     m = pt[0].shape[0]
     assert m & (m - 1) == 0, "_tree_sum requires power-of-two length"
     while m > 1:
@@ -284,15 +285,68 @@ def _weighted_bucket_sum(bufs, nb: int):
     _, offs = jax.lax.scan(
         step2, inf_like(tuple(r[0] for r in rows)), rows
     )  # exclusive
-    offs_full = tuple(jnp.repeat(t[:, 0], C, axis=0) for t in offs)
-    P_flat = tuple(
-        jnp.moveaxis(t, 0, 1).reshape((R * C,) + t.shape[2:]) for t in P
+    # combine in (R, C, ...) form — never a rank-2 tensor wider than R*C
+    # rows (the TPU backend miscompiles those past 2^12, see _SAFE_ROWS)
+    offs_rc = tuple(
+        jnp.broadcast_to(t, (R, C) + t.shape[2:]) for t in offs
     )
-    S = point_add(offs_full, P_flat)
-    live = jnp.arange(R * C) < L
+    P_rc = tuple(jnp.moveaxis(t, 0, 1) for t in P)
+    S = point_add(offs_rc, P_rc)
+    live = (jnp.arange(R * C) < L).reshape(R, C)
     S = (S[0], S[1], S[2], S[3] | ~live)
-    tot = _tree_sum(S)
+    tot = _tree_sum(S)  # (1, C, ...)
+    tot = _tree_sum(tuple(t[0] for t in tot))  # (1, ...)
     return tuple(t[0] for t in tot)
+
+
+# The refreshed TPU backend (jax 0.9.0 / libtpu 0.0.34) MISCOMPILES
+# chained limb products on rank-2 tensors whose LEADING axis is >= 2^13:
+# depth-1 mont_mul is exact at any width, but a depth-2 chain (and hence
+# point_add) returns deterministic garbage from (8192, 35) inputs, on
+# both the int8-MXU and the pure-VPU product paths, while the identical
+# program is exact on the CPU backend and on this same TPU at 4096 rows
+# (tools/tpu_mm_chain_bisect.py, tools/tpu_mm_variants.py).  Reshaping
+# to (nc, 4096, 35) and vmapping is exact at the same total size
+# (measured through (4, 4096, 35)), so every point-pipeline tensor here
+# is kept in chunked 3-D form with the row axis capped at _SAFE_ROWS:
+# per-chunk sort + bucket reduction (chunk-parallel under vmap), then a
+# pairwise tree over the chunk axis merges the dense per-chunk bucket
+# buffers (complete addition law, so split segments and padding
+# infinities fold correctly).  Extra work vs the flat pipeline:
+# (nc-1)*nb adds per window — ~2x total adds at n=2^16/window=12 —
+# paid only above 4096 points.
+_SAFE_ROWS = 4096
+
+
+def _bucket_chunked(dg, X, Y, Z, inf, nb: int, gc: int):
+    """Dense bucket sums over chunked points: dg (nc, S) digits,
+    X/Y/Z (nc, S, NL), inf (nc, S) -> (nb, NL)-coord bucket buffers.
+
+    Chunks run gc at a time (lax.map over groups, vmap inside) to bound
+    the sort/scatter temps; the (nc, nb) per-chunk buffers then fold
+    down the chunk axis with a pairwise point_add tree."""
+    import jax
+
+    nc = dg.shape[0]
+
+    def one_chunk(dgc, xc, yc, zc, ic):
+        import jax.numpy as jnp
+
+        order = jnp.argsort(dgc)
+        d = dgc[order]
+        pt = (xc[order], yc[order], zc[order], ic[order] | (d == 0))
+        return _bucket_reduce(pt, d, nb)
+
+    if nc == gc:
+        bufs = jax.vmap(one_chunk)(dg, X, Y, Z, inf)
+    else:
+        grp = tuple(
+            t.reshape((nc // gc, gc) + t.shape[1:])
+            for t in (dg, X, Y, Z, inf)
+        )
+        bufs = jax.lax.map(lambda g: jax.vmap(one_chunk)(*g), grp)
+        bufs = tuple(t.reshape((nc,) + t.shape[2:]) for t in bufs)
+    return tuple(t[0] for t in _tree_sum(bufs))
 
 
 @functools.lru_cache(maxsize=None)
@@ -302,23 +356,26 @@ def _msm_jit(n: int, window: int = WINDOW):
 
     nb = 1 << window
     nw = (255 + window - 1) // window
+    S = min(n, _SAFE_ROWS)
+    nc = n // S
+    gc = max(1, min(nc, _MULTI_LANE_BUDGET // S))
+    gc = 1 << (gc.bit_length() - 1)
 
     def one_window(carry, digits):
         X, Y, Z, inf = carry
-        order = jnp.argsort(digits)
-        d = digits[order]
-        pt = (X[order], Y[order], Z[order], inf[order] | (d == 0))
-        bufs = _bucket_reduce(pt, d, nb)
+        bufs = _bucket_chunked(digits, X, Y, Z, inf, nb, gc)
         wsum = _weighted_bucket_sum(bufs, nb)
         return (X, Y, Z, inf), wsum
 
     def msm(digits_all, Xs, Ys, inf):
-        # standard-form canonical limbs -> Montgomery domain, on device
-        X = fq.to_mont(Xs)
-        Y = fq.to_mont(Ys)
+        # standard-form canonical limbs -> Montgomery domain, on device,
+        # already in safe chunked (nc, S, NL) form
+        X = fq.to_mont(Xs.reshape(nc, S, fq.NL))
+        Y = fq.to_mont(Ys.reshape(nc, S, fq.NL))
         Z = jnp.broadcast_to(jnp.asarray(_Z_ONE), X.shape)
         _, wsums = jax.lax.scan(
-            one_window, (X, Y, Z, inf), digits_all
+            one_window, (X, Y, Z, inf.reshape(nc, S)),
+            digits_all.reshape(nw, nc, S),
         )  # wsums leaves: (nw, ...), window w ascending
         # Horner fold, high window first: total = (total * 2^window) + w_sum.
         # One point_double + one point_add in the graph (scan/fori_loop),
@@ -365,18 +422,25 @@ def _msm_multi_jit(n: int, K: int, kc: int, window: int = WINDOW):
     assert K % kc == 0, (K, kc)
     nb = 1 << window
     nw = (255 + window - 1) // window
+    S = min(n, _SAFE_ROWS)
+    nc = n // S
+    # kc digit lanes are vmapped over _bucket_chunked, so the chunk-group
+    # width multiplies with kc; keep kc*gc*S within the lane budget
+    # (power of two so the group reshape divides nc evenly)
+    gc = max(1, min(nc, _MULTI_LANE_BUDGET // (S * kc)))
+    gc = 1 << (gc.bit_length() - 1)
 
     def msm_multi(digits_all, Xs, Ys, inf):
-        # digits_all: (nw, K, n)
-        X = fq.to_mont(Xs)
-        Y = fq.to_mont(Ys)
+        # digits_all: (nw, K, n); points in safe chunked (nc, S, NL) form
+        X = fq.to_mont(Xs.reshape(nc, S, fq.NL))
+        Y = fq.to_mont(Ys.reshape(nc, S, fq.NL))
         Z = jnp.broadcast_to(jnp.asarray(_Z_ONE), X.shape)
+        infc = inf.reshape(nc, S)
 
         def one_window_k(digits):
-            order = jnp.argsort(digits)
-            d = digits[order]
-            pt = (X[order], Y[order], Z[order], inf[order] | (d == 0))
-            bufs = _bucket_reduce(pt, d, nb)
+            bufs = _bucket_chunked(
+                digits.reshape(nc, S), X, Y, Z, infc, nb, gc
+            )
             return _weighted_bucket_sum(bufs, nb)
 
         def one_window(carry, digits_w):  # digits_w: (K, n)

@@ -183,3 +183,44 @@ def test_msm_sharded_matches_single():
         arr, scalars, window=4, devices=jax.devices()
     )
     assert sharded == single
+
+
+@pytest.mark.slow
+def test_msm_chunked_path_matches_host(monkeypatch):
+    """Force nc>1 (the TPU-backend-regression mitigation: per-chunk sort
+    + bucket reduce, pairwise tree merge of the dense per-chunk bucket
+    buffers) with a tiny _SAFE_ROWS so the chunked code paths — vmap
+    group, lax.map grouping, cross-chunk segment splits — run on CPU.
+    Covers scalars that collide across chunk boundaries (split bucket
+    segments) and zero/infinity rows inside chunks."""
+    monkeypatch.setattr(tpu_msm, "_SAFE_ROWS", 8)
+    # also force the lax.map group split (gc < nc)
+    monkeypatch.setattr(tpu_msm, "_MULTI_LANE_BUDGET", 16)
+    tpu_msm._msm_jit.cache_clear()
+    tpu_msm._msm_multi_jit.cache_clear()
+    try:
+        n = 32  # nc = 4 chunks of 8, gc = 2
+        gen = bls.g1_from_affine(bls.G1_GEN)
+        pts = [bls.g1_to_affine(bls.g1_mul(gen, k + 2)) for k in range(n)]
+        pts[9] = None
+        arr = G1Array.from_affine_list(pts)
+        scalars = [secrets.randbelow(16) for _ in range(n)]  # window=4 digits
+        scalars[3] = 0
+        # heavy cross-chunk collisions: one digit value spans chunks 1-3
+        for i in range(6, 26):
+            scalars[i] = 5
+        got = tpu_msm.g1_msm_tpu(arr, scalars, window=4)
+        acc = None
+        for p, s in zip(pts, scalars):
+            if p is None or s == 0:
+                continue
+            acc = bls.g1_add(acc, bls.g1_mul(bls.g1_from_affine(p), s))
+        assert got == bls.g1_to_affine(acc)
+        # the K-fold path through the same chunking
+        vectors = [scalars, [1] * n, [secrets.randbelow(bls.R) for _ in range(n)]]
+        multi = tpu_msm.g1_msm_tpu_multi(arr, vectors, window=4)
+        for k, sc in enumerate(vectors):
+            assert multi[k] == tpu_msm.g1_msm_tpu(arr, sc, window=4), f"k={k}"
+    finally:
+        tpu_msm._msm_jit.cache_clear()
+        tpu_msm._msm_multi_jit.cache_clear()

@@ -11,12 +11,27 @@ Tests, per width 2^12 / 2^13 / 2^14 / 2^15, TPU vs CPU backend:
   is_zero_mod_q     (int32 CRT dot + f32 reciprocal)
   point_add         (one step, no chain)
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/tpu_fq_isolate.py
+Run: python tools/tpu_fq_isolate.py
 """
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+_PLAT = jax.devices()[0].platform
+print(f"default platform: {_PLAT}", flush=True)
+assert _PLAT in ("tpu", "axon"), (
+    "default backend fell back to CPU -- a TPU-vs-CPU differential on this "
+    "process would be cpu-vs-cpu and meaningless.  NOTE: setting PYTHONPATH "
+    "(to anything) breaks axon TPU discovery on this image; run as "
+    "'python tools/<tool>.py' with PYTHONPATH unset."
+)
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from falcon_r1cs_tpu.ops import fq_mont as fq

@@ -7,14 +7,27 @@ validated the same code at 2^14+ on the previous stack).  This driver
 runs each stage of the pipeline on the TPU and on the host CPU backend
 with identical inputs and reports the first diverging stage.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/tpu_msm_isolate.py [logn]
+Run: python tools/tpu_msm_isolate.py [logn]
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+_PLAT = jax.devices()[0].platform
+print(f"default platform: {_PLAT}", flush=True)
+assert _PLAT in ("tpu", "axon"), (
+    "default backend fell back to CPU -- a TPU-vs-CPU differential on this "
+    "process would be cpu-vs-cpu and meaningless.  NOTE: setting PYTHONPATH "
+    "(to anything) breaks axon TPU discovery on this image; run as "
+    "'python tools/<tool>.py' with PYTHONPATH unset."
+)
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 import falcon_r1cs_tpu.snark.bls12_381 as bls

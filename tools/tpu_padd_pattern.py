@@ -7,14 +7,27 @@ This runs the same jitted step R times on the TPU at a given width,
 checks run-to-run determinism, and prints the structure of any
 divergence vs the CPU backend (wrong-row blocks, wrong-limb columns).
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/tpu_padd_pattern.py [logm] [R]
+Run: python tools/tpu_padd_pattern.py [logm] [R]
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+_PLAT = jax.devices()[0].platform
+print(f"default platform: {_PLAT}", flush=True)
+assert _PLAT in ("tpu", "axon"), (
+    "default backend fell back to CPU -- a TPU-vs-CPU differential on this "
+    "process would be cpu-vs-cpu and meaningless.  NOTE: setting PYTHONPATH "
+    "(to anything) breaks axon TPU discovery on this image; run as "
+    "'python tools/<tool>.py' with PYTHONPATH unset."
+)
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 import falcon_r1cs_tpu.snark.bls12_381 as bls
