@@ -5,7 +5,8 @@ jax.profiler trace, and prints the "XLA Ops" rows grouped by op name so
 the 2x-kernel + packing-tail split can be attacked with data instead of
 guesses.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_engine.py [n] [batch]
+Run: python tools/profile_engine.py [n] [batch]   (PYTHONPATH unset —
+setting it breaks axon TPU discovery on this image)
 """
 
 import collections
@@ -15,6 +16,9 @@ import json
 import os
 import sys
 import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
