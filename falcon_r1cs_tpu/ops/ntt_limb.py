@@ -101,3 +101,32 @@ def ntt_hints(x, params: FalconParams, use_pallas: bool = False):
 
         return ntt_with_hints_pallas(x, params, get_config().pallas_block)
     return ntt_with_hints(x, params)
+
+
+def intt_then_hints(w, params: FalconParams, use_pallas: bool = False):
+    """The v derivation chain: NTT-domain w = (hm - sig_ntt*pk) mod q ->
+    (v_t limbs, v_b, v) where v = INTT(w) and (v_t, v_b) are its forward
+    hint-NTT outputs.
+
+    Default: XLA INTT composed with the hint-NTT backend — the fused
+    INTT-prologue Pallas kernel (pallas_ntt.intt_ntt_hints_pallas) is
+    bit-identical but measured SLOWER on a v5e (the prologue is
+    VPU-compute-bound at ~18 us/stage in Mosaic vs ~14 us/stage for
+    XLA's butterfly passes, both with f32-divmod and integer-Montgomery
+    reductions tried; BASELINE.md round-3 notes).  It stays available
+    behind FALCON_R1CS_TPU_FUSED_INTT=1 since the tradeoff is
+    backend-version-dependent."""
+    import os
+
+    if use_pallas and os.environ.get("FALCON_R1CS_TPU_FUSED_INTT") == "1":
+        from .pallas_ntt import intt_ntt_hints_pallas
+        from ..utils.config import get_config
+
+        return intt_ntt_hints_pallas(w, params, get_config().pallas_block)
+    from ..falcon.ntt import intt_jax
+
+    v = intt_jax(w, params.n)
+    t, b = ntt_with_hints(v, params) if not use_pallas else ntt_hints(
+        v, params, use_pallas
+    )
+    return t, b, v

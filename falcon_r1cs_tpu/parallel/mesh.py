@@ -218,16 +218,16 @@ def _make_local_sp_engine(params, d_coeff: int):
         v = jax.lax.dynamic_slice_in_dim(v_full, r * w, w, axis=1)
 
         v_bits = _bits(v, 14)
-        range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits)], axis=-1)
+        range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits, v)], axis=-1)
 
         v_t, v_b = ntt_with_hints_local(v, "coeff", params, d_coeff)
 
         sig_bits = _bits(sig_b, 14)
         v_bits_n = _bits(v_b, 14)
         sig_tail = jnp.concatenate(
-            [sig_bits, _lt_q_chain(sig_bits)], axis=-1
+            [sig_bits, _lt_q_chain(sig_bits, sig_b)], axis=-1
         )
-        v_tail = jnp.concatenate([v_bits_n, _lt_q_chain(v_bits_n)], axis=-1)
+        v_tail = jnp.concatenate([v_bits_n, _lt_q_chain(v_bits_n, v_b)], axis=-1)
 
         prod = sig_b * pk_ntt
         tot = v_b + prod
@@ -235,7 +235,7 @@ def _make_local_sp_engine(params, d_coeff: int):
         pw_bits = _bits(c_pw, 14)
         pointwise = jnp.stack([prod, t_pw, c_pw], axis=-1)
         pointwise_tail = jnp.concatenate(
-            [pw_bits, _lt_q_chain(pw_bits)], axis=-1
+            [pw_bits, _lt_q_chain(pw_bits, c_pw)], axis=-1
         )
 
         nbits_v, sel_v, sq_v = _norm_block_t(v)

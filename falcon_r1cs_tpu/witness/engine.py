@@ -35,7 +35,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-from ..falcon.ntt import intt_jax, ntt_jax
+from ..falcon.ntt import ntt_jax
 from ..ops.modq import divmod_q as fast_divmod_q, mul_mod_q, sub_mod_q
 from ..ops.ntt_limb import ntt_with_hints
 from ..params import FalconParams, Q, get_params
@@ -56,10 +56,27 @@ def _bits(x, count):
     return jnp.bitwise_and(x[..., None] >> shifts, 1).astype(jnp.int8)
 
 
-def _lt_q_chain(bits14):
+def _lt_q_chain(bits14, val=None):
     """The 13 logic witnesses of enforce_less_than_q after the 14 bits:
     w_k = prod_{i<=k}(1-b_i) for k=1..11; w12 = b12*(1-w11);
-    w13 = b13*w12."""
+    w13 = b13*w12.
+
+    When the source VALUE (int32 in [0, 2^14)) is given, the prefix
+    products collapse to masked zero-tests — w_k = prod_{i<=k}(1-b_i) is
+    just [val mod 2^(k+1) == 0] — one fused elementwise op instead of a
+    cumprod, whose log-step pad/multiply lowering was ~13% of engine
+    device time across the four chain call sites (profile_engine)."""
+    if val is not None:
+        masks = jnp.asarray(
+            [(1 << (k + 1)) - 1 for k in range(1, 12)], jnp.int32
+        )
+        w = (jnp.bitwise_and(val[..., None], masks) == 0).astype(jnp.int8)
+        w11 = w[..., -1]
+        w12 = bits14[..., 12] * (1 - w11)
+        w13 = bits14[..., 13] * w12
+        return jnp.concatenate(
+            [w, w12[..., None], w13[..., None]], axis=-1
+        )
     nb = 1 - bits14
     pref = jnp.cumprod(nb[..., :12], axis=-1)  # pref[k] = prod_{i<=k}(1-b_i)
     w = pref[..., 1:12]                        # w1..w11
@@ -74,7 +91,7 @@ def _modq_block(t_val, b_val):
     """[t, b, bits, chain] given quotient t (any int32 array slot; for the
     NTT blocks t is passed separately as limbs) and remainder b < q."""
     bits = _bits(b_val, 14)
-    chain = _lt_q_chain(bits)
+    chain = _lt_q_chain(bits, b_val)
     return bits, chain
 
 
@@ -249,18 +266,19 @@ def generate_witness_ntt(
 
     # sig's NTT hints first: the hint kernel's reduced output sig_b IS the
     # clear NTT of sig, so the v derivation reuses it (one NTT saved)
-    from ..ops.ntt_limb import ntt_hints
+    from ..ops.ntt_limb import intt_then_hints, ntt_hints
 
     sig_t, sig_b = ntt_hints(sig, params, use_pallas)
 
-    # v = hm - sig*pk mod (q, x^n+1), computed in NTT domain on device
-    v = intt_jax(sub_mod_q(hm_ntt, mul_mod_q(sig_b, pk_ntt)), n)
+    # v = hm - sig*pk mod (q, x^n+1): on the Pallas backend the INTT is
+    # fused into the v hint kernel as a VMEM prologue (one HBM pass
+    # instead of log_n XLA butterfly round trips)
+    w = sub_mod_q(hm_ntt, mul_mod_q(sig_b, pk_ntt))
+    v_t, v_b, v = intt_then_hints(w, params, use_pallas)
 
     # range proof chains on v
     v_bits = _bits(v, 14)
-    range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits)], axis=-1)
-
-    v_t, v_b = ntt_hints(v, params, use_pallas)
+    range_v = jnp.concatenate([v_bits, _lt_q_chain(v_bits, v)], axis=-1)
     sig_bits, sig_chain = _modq_block(sig_t, sig_b)
     v_bits_n, v_chain = _modq_block(v_t, v_b)
     sig_tail = jnp.concatenate([sig_bits, sig_chain], axis=-1)
@@ -273,7 +291,7 @@ def generate_witness_ntt(
     pw_bits = _bits(c_pw, 14)
     pointwise = jnp.stack([prod, t_pw, c_pw], axis=-1)
     pointwise_tail = jnp.concatenate(
-        [pw_bits, _lt_q_chain(pw_bits)], axis=-1
+        [pw_bits, _lt_q_chain(pw_bits, c_pw)], axis=-1
     )
 
     # l2 norm over v || sig (feature-major: see _norm_block_t)

@@ -49,7 +49,7 @@ def _dual_split(c):
 
 def _modq_tail(b):
     bits = _bits(b, 14)
-    return jnp.concatenate([bits, _lt_q_chain(bits)], axis=-1)
+    return jnp.concatenate([bits, _lt_q_chain(bits, b)], axis=-1)
 
 
 def generate_witness_dual(

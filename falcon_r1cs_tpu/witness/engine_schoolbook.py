@@ -57,7 +57,7 @@ def generate_witness_schoolbook(
 
     v_bits = _bits(v, 14)
     v_block = jnp.concatenate(
-        [v[..., None], v_bits, _lt_q_chain(v_bits)], axis=-1
+        [v[..., None], v_bits, _lt_q_chain(v_bits, v)], axis=-1
     )  # (B, n, 28)
 
     if use_pallas:
@@ -86,7 +86,7 @@ def generate_witness_schoolbook(
     t = (tq << 16) + tl                                      # quotient hint
 
     c_bits = _bits(c, 14)
-    c_chain = _lt_q_chain(c_bits)
+    c_chain = _lt_q_chain(c_bits, c)
 
     # rhs = hm + q - c; valid path: rhs == v or rhs == v + q
     rhs = hm + Q - c

@@ -19,8 +19,10 @@ def interpret_mode(monkeypatch):
         pl, "pallas_call", lambda *a, **k: orig(*a, interpret=True, **k)
     )
     pn._build.cache_clear()
+    pn._build_vchain.cache_clear()
     yield
     pn._build.cache_clear()
+    pn._build_vchain.cache_clear()
 
 
 @pytest.mark.parametrize("params", [FALCON_512, FALCON_1024])
@@ -28,6 +30,21 @@ def test_pallas_matches_xla(rng, interpret_mode, params):
     x = rng.integers(0, Q, size=(8, params.n)).astype(np.int32)
     t_ref, b_ref = jax.jit(lambda x: ntt_with_hints(x, params))(x)
     t_pl, b_pl = pn.ntt_with_hints_pallas(x, params, block=4)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_pl))
+    assert np.array_equal(np.asarray(b_ref), np.asarray(b_pl))
+
+
+@pytest.mark.parametrize("params", [FALCON_512, FALCON_1024])
+def test_pallas_vchain_matches_xla(rng, interpret_mode, params):
+    """Fused INTT-prologue v-chain kernel vs the composed XLA path
+    (intt_jax then ntt_with_hints): t/b/v all bit-equal."""
+    from falcon_r1cs_tpu.falcon.ntt import intt_jax
+
+    w = rng.integers(0, Q, size=(8, params.n)).astype(np.int32)
+    v_ref = jax.jit(lambda w: intt_jax(w, params.n))(w)
+    t_ref, b_ref = jax.jit(lambda x: ntt_with_hints(x, params))(v_ref)
+    t_pl, b_pl, v_pl = pn.intt_ntt_hints_pallas(w, params, block=4)
+    assert np.array_equal(np.asarray(v_ref), np.asarray(v_pl))
     assert np.array_equal(np.asarray(t_ref), np.asarray(t_pl))
     assert np.array_equal(np.asarray(b_ref), np.asarray(b_pl))
 
