@@ -4,13 +4,23 @@ Runs g1_msm_tpu_multi over the falcon-512 h_query points (n_pad = 2^17)
 with K full-width scalar vectors and reports ms/MSM + effective modmul/s,
 against the host C backend's number for the same shape.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_tpu_msm_multi.py [K] [iters]
+Run: python tools/bench_tpu_msm_multi.py [K] [iters]   (PYTHONPATH unset)
 """
 
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
+
+import jax
+
+_PLAT = jax.devices()[0].platform
+print(f"default platform: {_PLAT}", flush=True)
+assert _PLAT in ("tpu", "axon"), (
+    "CPU fallback -- unset PYTHONPATH (it breaks axon TPU discovery)")
 
 import falcon_r1cs_tpu.snark.bls12_381 as bls
 from falcon_r1cs_tpu.r1cs.coo import cache_dir
