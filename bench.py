@@ -362,26 +362,81 @@ def bench_groth16(n=512, prove_iters=3):
 _GROTH16_CTX: dict = {}
 
 
+def _batch_assignments(K, n=512):
+    """K DISTINCT satisfying assignments (prove-mode traced synthesis of
+    K seeded instances), disk-cached as one limb tensor so only the first
+    bench run on a host pays the ~1.1 s/instance synthesis cost."""
+    from falcon_r1cs_tpu.r1cs.coo import cache_dir
+
+    path = cache_dir() / f"bench_batch_assignments_ntt{n}_K{K}.npz"
+    if path.exists():
+        d = np.load(path)
+        return list(d["z"]), [[int(v) for v in p] for p in d["pub"]]
+
+    from falcon_r1cs_tpu import (
+        ConstraintSystem,
+        FalconNTTVerificationCircuit,
+    )
+    from falcon_r1cs_tpu.falcon import make_instance
+    from falcon_r1cs_tpu.params import get_params
+    from falcon_r1cs_tpu.snark.points import ints_to_limbs
+
+    zs, pubs = [], []
+    for k in range(K):
+        rng = np.random.default_rng(100 + k)
+        inst = make_instance(rng, get_params(n))
+        cs = ConstraintSystem(mode="prove")
+        FalconNTTVerificationCircuit.build_circuit(inst).generate_constraints(
+            cs
+        )
+        pub = [int(x) for x in cs.instance_values]
+        zs.append(ints_to_limbs(pub + [int(x) for x in cs.witness_values], 4))
+        pubs.append(pub)
+    cache_dir().mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path, z=np.stack(zs), pub=np.array(pubs, dtype=np.uint64)
+    )
+    return zs, pubs
+
+
 def bench_groth16_batch(K=16):
-    """Batched proving rate (prove_batch, one CRS x K assignments — the
-    falcon-aggregate-sig shape).  Reuses bench_groth16's warmed pk and
-    assignment; the K scalar vectors are value-identical (per-proof MSM
-    cost is value-independent at equal bit-width), with distinct
-    blinding r/s.  tools/bench_prove_batch.py measures the same with K
-    distinct engine-generated witnesses."""
-    from falcon_r1cs_tpu.snark import prove_batch, verify
+    """Batched proving rate (prove_batch, one CRS x K DISTINCT
+    assignments — the falcon-aggregate-sig shape,
+    /root/reference/falcon-aggregate-sig/src/main.rs:1-3).
+
+    Mirrors tools/bench_prove_batch.py's rigor inside the driver
+    artifact: prove_batch is WARMED before timing (the round-3 artifact
+    timed one cold call and recorded batching as a 0.6x slowdown), the K
+    assignments are distinct instances, ALL K proofs are verified, and
+    singles are timed interleaved around the batch in the same run so
+    the speedup ratio cancels host-clock drift."""
+    from falcon_r1cs_tpu.snark import prove, prove_batch, verify
 
     if not _GROTH16_CTX:
         bench_groth16()
     pk = _GROTH16_CTX["pk"]
     compiled = _GROTH16_CTX["compiled"]
-    assignment = _GROTH16_CTX["assignment"]
-    assignments = [assignment] * K
+    zs, pubs = _batch_assignments(K)
+    prove_batch(pk, compiled, zs[:2])  # warm native build + point caches
+
+    # interleave: single, batch, single — ratio from the same host minute
     t0 = time.perf_counter()
-    proofs = prove_batch(pk, compiled, assignments)
-    rate = K / (time.perf_counter() - t0)
-    assert verify(pk.vk, _GROTH16_CTX["instance"], proofs[-1])
-    return rate
+    p0 = prove(pk, compiled, zs[0])
+    t_s0 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proofs = prove_batch(pk, compiled, zs)
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p1 = prove(pk, compiled, zs[1])
+    t_s1 = time.perf_counter() - t0
+    t_single = (t_s0 + t_s1) / 2
+
+    assert verify(pk.vk, pubs[0], p0)
+    assert verify(pk.vk, pubs[1], p1)
+    for k in range(K):
+        assert verify(pk.vk, pubs[k], proofs[k]), k
+    _GROTH16_CTX["batch_speedup"] = round(t_single * K / t_batch, 2)
+    return K / t_batch
 
 
 def _tpu_alive(timeout_s: int = 150) -> bool:
@@ -503,6 +558,11 @@ def main():
             )
         except Exception as e:  # never let a secondary kill the metric
             result[key] = f"error: {type(e).__name__}"
+    if "batch_speedup" in _GROTH16_CTX:
+        # interleaved same-run ratio: host-clock drift cancels
+        result["groth16_batch_speedup_vs_singles"] = _GROTH16_CTX[
+            "batch_speedup"
+        ]
     print(json.dumps(result))
 
 
