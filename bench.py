@@ -315,6 +315,42 @@ def bench_pipeline(trials=3):
     return best if best else single
 
 
+def bench_pipeline_device(iters=3):
+    """Device-profiled compute rate of the SAME wire-bytes -> witness
+    path bench_pipeline times with wall clock: sums "XLA Ops" durations
+    from a jax.profiler trace around whole-pipeline calls.  The pair
+    separates what the framework costs (device compute) from what the
+    dev harness costs (the tunnel's ~12 KB/item upload, now halved by
+    int16 input planes, which dominates the wall-clock number and which
+    a local chip does not pay)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    if jax.devices()[0].platform.lower() not in ("tpu", "axon"):
+        return None
+    if not _PIPE:
+        _pipeline_setup()
+    if not _PIPE.get("warm"):
+        _pipeline_run_once()
+    batch = _PIPE["batch"]
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_trace_")
+    try:
+        jax.profiler.start_trace(tmp)
+        try:
+            for _ in range(iters):
+                _pipeline_run_once()
+        finally:
+            jax.profiler.stop_trace()
+        dev_us = device_time_us_from_trace(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not dev_us:
+        return None
+    return batch * iters / (dev_us / 1e6)
+
+
 def bench_groth16(n=512, prove_iters=3):
     """Groth16 proofs/sec over the falcon-512 verify-NTT circuit (host +
     native C backend; the reference's pok_sig.rs capability).  CRS and
@@ -528,6 +564,8 @@ def main():
         ("groth16_proves_per_sec", bench_groth16, 90),
         ("groth16_batch16_proves_per_sec", bench_groth16_batch, 60),
         ("pipeline_witnesses_per_sec", bench_pipeline, 100),
+        ("pipeline_device_witnesses_per_sec",
+         lambda: bench_pipeline_device() or 0, 30),
         ("dual_ntt_witnesses_per_sec", bench_dual, 120),
         ("schoolbook_witnesses_per_sec", bench_schoolbook, 120),
     ]

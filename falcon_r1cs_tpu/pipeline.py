@@ -71,14 +71,19 @@ class ProverInputPipeline:
 
     def run_decoded(self, sig_signed, h, msgs, nonces) -> ProverInputs:
         """From decoded arrays: sig_signed (B, n) ints, h (B, n) in [0, q),
-        msgs list[bytes], nonces list[bytes]."""
+        msgs list[bytes], nonces list[bytes].
+
+        All device inputs are < q = 12289 < 2^14, so they ship as int16 —
+        half the host->device bytes of the int32 planes (the whole-path
+        rate through the tunneled dev chip is upload-bound, BASELINE.md);
+        ntt_jax and the engine cast to int32 at trace entry."""
         import jax.numpy as jnp
 
         n = self.params.n
         hm = hash_to_point_batch(msgs, nonces, n)          # host, native C
-        sig = (np.asarray(sig_signed) % Q).astype(np.int32)
-        h_dev = jnp.asarray(np.asarray(h), dtype=jnp.int32)
-        hm_dev = jnp.asarray(hm, dtype=jnp.int32)
+        sig = (np.asarray(sig_signed) % Q).astype(np.int16)
+        h_dev = jnp.asarray(np.asarray(h), dtype=jnp.int16)
+        hm_dev = jnp.asarray(np.asarray(hm), dtype=jnp.int16)
         pk_ntt = ntt_jax(h_dev, n)
         hm_ntt = ntt_jax(hm_dev, n)
         B = sig.shape[0]

@@ -69,6 +69,26 @@ def worker(proc_id: int, port: int, num_procs: int = 2) -> None:
           f"(procs={jax.process_count()}, devices={len(jax.devices())})",
           flush=True)
 
+    # throughput point (VERDICT r3 #7): a timed cross-process sharded-
+    # engine loop at a real batch.  Every worker must run every step
+    # (collective programs are SPMD); worker 0's clock is the record.
+    import time
+
+    bench_batch = 512
+    local_b = host_local_batch(rng, n, bench_batch)
+    bsig, bpk, bhm = make_global_arrays(mesh, local_b, bench_batch, n)
+    jax.block_until_ready(run(bsig, bpk, bhm))  # compile + warm
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(bsig, bpk, bhm)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f"[worker {proc_id}] gloo 2-process throughput: "
+          f"{bench_batch * iters / dt:.1f} wit/s "
+          f"(falcon-{n}, global batch {bench_batch}, {iters} steps)",
+          flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
