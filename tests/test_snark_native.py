@@ -281,40 +281,53 @@ def test_falcon512_groth16_end_to_end():
 
 
 @pytest.mark.slow
-def test_falcon512_dual_ntt_groth16_end_to_end():
-    """Groth16 over the DUAL-NTT circuit: the SNARK layer is
-    circuit-generic — any CompiledR1CS + matching engine witness proves
-    (same public-input contract: one || pk_ntt || hm_ntt)."""
+def test_falcon512_dual_ntt_groth16_end_to_end_batched():
+    """Groth16 over the DUAL-NTT circuit, through prove_batch with K=3
+    DISTINCT instances: the SNARK layer is circuit-generic — any
+    CompiledR1CS + matching engine witness proves (same public-input
+    contract: one || pk_ntt || hm_ntt) — and the batched prover covers
+    large circuits, not just falcon-512 verify-NTT (VERDICT r3 #8's
+    hermetic lane; the K=8 1024-circuit numbers live in BASELINE.md via
+    tools/bench_prove_batch_large.py)."""
     import falcon_r1cs_tpu as frm
     from falcon_r1cs_tpu.falcon import make_instance, ntt
     from falcon_r1cs_tpu.params import FALCON_512
     from falcon_r1cs_tpu.r1cs.coo import compile_circuit
+    from falcon_r1cs_tpu.snark.groth16 import prove_batch
     from falcon_r1cs_tpu.witness import (
         interleave_witness_dual,
         jitted_engine_dual,
     )
 
+    K = 3
     nprng = np.random.default_rng(1)
-    inst = make_instance(nprng, frm.get_params(512))
-    compiled = compile_circuit(frm.FalconDualNTTVerificationCircuit, inst)
-    sig = inst.sig_signed[None].astype(np.int32)
-    pk_ntt = ntt(inst.h)[None].astype(np.int32)
-    hm_ntt = ntt(inst.hm)[None].astype(np.int32)
+    insts = [make_instance(nprng, frm.get_params(512)) for _ in range(K)]
+    compiled = compile_circuit(frm.FalconDualNTTVerificationCircuit,
+                               insts[0])
+    sig = np.stack([i.sig_signed for i in insts]).astype(np.int32)
+    pk_ntt = np.stack([ntt(i.h) for i in insts]).astype(np.int32)
+    hm_ntt = np.stack([ntt(i.hm) for i in insts]).astype(np.int32)
     seg = {
         k: np.asarray(v)
         for k, v in jitted_engine_dual(512)(sig, pk_ntt, hm_ntt).items()
     }
     wit = interleave_witness_dual(seg, FALCON_512)
-    public_inputs = [1] + [int(v) for v in pk_ntt[0]] + [
-        int(v) for v in hm_ntt[0]
-    ]
-    assignment = public_inputs + [int(v) for v in wit[0]]
+    publics, assignments = [], []
+    for k in range(K):
+        pub = [1] + [int(v) for v in pk_ntt[k]] + [int(v) for v in hm_ntt[k]]
+        publics.append(pub)
+        assignments.append(pub + [int(v) for v in wit[k]])
     pk = setup(compiled)
-    proof = prove(pk, compiled, assignment)
-    assert verify(pk.vk, public_inputs, proof)
-    bad = list(public_inputs)
+    rs, ss = [7, 9, 11], [8, 10, 12]
+    proofs = prove_batch(pk, compiled, assignments, rs=rs, ss=ss)
+    for k in range(K):
+        assert verify(pk.vk, publics[k], proofs[k]), k
+    # point-identical to the single-prove path at equal blinding
+    single = prove(pk, compiled, assignments[0], r=rs[0], s=ss[0])
+    assert proofs[0] == single
+    bad = list(publics[0])
     bad[1] = (bad[1] + 1) % 12289
-    assert not verify(pk.vk, bad, proof)
+    assert not verify(pk.vk, bad, proofs[0])
 
 
 @pytest.mark.skipif(
