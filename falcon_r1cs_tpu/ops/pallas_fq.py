@@ -137,12 +137,15 @@ def _accum_const_mul(m_arr, cl_tab, prod_ref, nm: int):
 def _semi_round_arr(t):
     """fq_mont._semi_round on an (L, 8, 128) array: out[k] = (t[k] &
     MASK) + (t[k-1] >> LIMB) for k < L-1; top row keeps its full value
-    plus the incoming carry."""
+    plus the incoming carry.  (All indices explicit-positive: Mosaic
+    lowers NEGATIVE integer indexing to dynamic_slice, which the TPU
+    pallas path does not implement.)"""
+    L = t.shape[0]
     low = jnp.bitwise_and(t, MASK)
     carry = jnp.right_shift(t, LIMB)
-    mid = low[1:-1] + carry[:-2]
-    top = t[-1] + carry[-2]
-    return jnp.concatenate([low[:1], mid, top[None]], axis=0)
+    mid = low[1 : L - 1] + carry[0 : L - 2]
+    top = t[L - 1] + carry[L - 2]
+    return jnp.concatenate([low[0:1], mid, top[None]], axis=0)
 
 
 def _semi_arr(t, rounds: int = 3):
@@ -178,9 +181,9 @@ def _mont_mul_arr(a_arr, b_arr, prod_ref, mu_tab, q_tab, cw_tab):
     hi = s[NSIG : NSIG + NL]
     spill0 = s[NSIG + NL]
     spill1 = s[NSIG + NL + 1]
-    top = hi[-1] + (spill0 << LIMB) + (spill1 << (2 * LIMB))
+    top = hi[NL - 1] + (spill0 << LIMB) + (spill1 << (2 * LIMB))
     return jnp.concatenate(
-        [(hi[0] + k)[None], hi[1:-1], top[None]], axis=0
+        [(hi[0] + k)[None], hi[1 : NL - 1], top[None]], axis=0
     )
 
 

@@ -27,13 +27,20 @@ Montgomery-domain conversion of the input points runs ON DEVICE (one
 vectorized numpy bit-slicing of the u64 limb arrays — no Python bigint
 loops at prover scale.
 
-Measured tradeoff (ENGINEERING.md "TPU MSM"): one v5e chip runs the
-Montgomery core at ~7.9 M modmul/s device-profiled (int8-MXU constant
-products, 2.9x the pure-VPU fold; peak at B=2^14, falling to 5.4 M by
-B=2^18) vs ~28 M scalar / ~385 M IFMA modmul/s for the 4-core OpenMP C
-backend — the default prover therefore keeps the C backend, and this
-module is the correctness-validated scale-out path (differentially
-tested: tests/test_tpu_msm.py).
+Measured tradeoff (ENGINEERING.md "TPU MSM"; round-4 refresh): at the
+falcon-512 h_query shape (n_pad = 2^17, the batched-Groth16 K-fold
+shape) the POST-MITIGATION end-to-end MSM runs at ~12.9 s/MSM ~ 3.6 M
+modmul/s wall (K = 2..4 identical per-MSM; the pre-mitigation 7.9 M
+figure measured the bare Montgomery core before the chunked-shape fix
+paid its ~2x adds) vs 190-230 ms/MSM for the 4-core IFMA C backend —
+the default prover therefore keeps the C backend, and this module is
+the correctness-validated scale-out path (differentially tested:
+tests/test_tpu_msm.py).  A single dispatch is also WATCHDOG-bounded:
+K x n_pad lane-dispatches are capped at 2^19 per jit call because
+~103 s device programs reproducibly crash the tunneled worker
+(g1_msm_tpu_multi chunks K across dispatches).  The VMEM-resident
+Pallas point kernels (ops/pallas_fq.py) are the round-4 path past the
+HBM-bound XLA formulation.
 """
 
 from __future__ import annotations
@@ -401,6 +408,10 @@ def _msm_jit(n: int, window: int = WINDOW):
 # n_pad=2^16 hit 15.9 G on the 16 G v5e), so 2^17 lanes ~ 8 G leaves
 # headroom for the sort/scatter temps.
 _MULTI_LANE_BUDGET = 1 << 17
+# max K*n_pad lanes per DISPATCH (watchdog bound, not memory — see
+# g1_msm_tpu_multi): 2^19 ~ 4 MSM-equivalents at the falcon-512 h_query
+# shape ~ 52 s device time, measured safe; 8 equivalents crashed twice.
+_MAX_DISPATCH_LANES = 1 << 19
 
 
 @functools.lru_cache(maxsize=None)
@@ -488,6 +499,21 @@ def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None):
         else:
             rows.append(ints_to_limbs([int(s) % FR_R for s in sc], 4))
     K = len(rows)
+    # DISPATCH-TIME cap (round 4): one jit call's device time must stay
+    # under the tunnel/runtime watchdog — K=8 x n_pad=2^17 (~103 s on a
+    # v5e) reproducibly CRASHES the TPU worker ("kernel fault"), while
+    # K=4 (~52 s) is fine.  Chunk the K axis across dispatches so each
+    # stays ~<= 2^19 lane-dispatches (~52 s at 2^17); the re-paid
+    # point upload/to_mont per dispatch is noise next to the adds.
+    kd = max(1, _MAX_DISPATCH_LANES // n_pad)
+    if K > kd:
+        out = []
+        for off in range(0, K, kd):
+            chunk = rows[off : off + kd]
+            chunk = chunk + [np.zeros_like(rows[0])] * (kd - len(chunk))
+            got = g1_msm_tpu_multi(points, chunk, window)
+            out.extend(got[: min(kd, K - off)])
+        return out
     kc = max(1, min(K, _MULTI_LANE_BUDGET // n_pad))
     K_run = ((K + kc - 1) // kc) * kc  # pad K to a multiple of kc
     digits = np.stack(
