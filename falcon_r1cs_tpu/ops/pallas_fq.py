@@ -58,6 +58,10 @@ from .fq_mont import (
 
 BLK = 1024  # points per grid step: limb rows are (8, 128) tiles
 
+# test hook: force interpret-mode execution of every kernel built after
+# setting it (hermetic CPU lanes exercise the pallas-MSM path this way)
+FORCE_INTERPRET = False
+
 
 def _lane_tab(vec, dtype):
     """(n,) constant vector -> (n, 128) lane-broadcast table."""
@@ -254,8 +258,12 @@ _EQ_CONSTS = (_AW_TAB, _CRTW_TAB, _CRTP_TAB, _CRTR_TAB)
 _EQ_CONST_SPECS = [_const_spec(t.shape) for t in _EQ_CONSTS]
 
 
-@functools.lru_cache(maxsize=None)
 def _build_mul(depth: int, interpret: bool = False):
+    return _build_mul_cached(depth, interpret or FORCE_INTERPRET)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_mul_cached(depth: int, interpret: bool):
     def kernel(a_ref, b_ref, mu_ref, q_ref, cw_ref, o_ref, prod_ref):
         a = a_ref[:, 0]
         b = b_ref[:, 0]
@@ -370,8 +378,12 @@ def _point_add_kernel(
     i3_ref[0] = is_inf3
 
 
-@functools.lru_cache(maxsize=None)
 def _build_point_add(interpret: bool = False):
+    return _build_point_add_cached(interpret or FORCE_INTERPRET)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_point_add_cached(interpret: bool):
     def run(p1, p2):
         x1, y1, z1, f1 = p1
         x2, y2, z2, f2 = p2

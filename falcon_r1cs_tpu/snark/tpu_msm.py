@@ -134,6 +134,74 @@ def point_add(p1, p2):
     return (X3, Y3, Z3, is_inf3)
 
 
+_PALLAS_MIN_ROWS = 1024  # pad/dispatch threshold for the fused kernel
+
+
+def _point_add_rows_pallas(p1, p2):
+    """point_add via the fused VMEM kernel (ops/pallas_fq.py) for points
+    in row layout with ANY leading shape: flatten, pad to a 1024
+    multiple with infinities, block-transpose, one kernel launch per
+    1024-point block, convert back.  Bit-equal to the XLA point_add
+    (same arithmetic; tests/test_pallas_fq.py + test_tpu_msm.py); at
+    the measured 26.8 M adds/s the layout conversions (~1.1 KB/point of
+    HBM traffic) cost ~4% of the add itself."""
+    import jax.numpy as jnp
+
+    from ..ops import pallas_fq as pfq
+
+    lead = p1[0].shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    mp = ((m + pfq.BLK - 1) // pfq.BLK) * pfq.BLK
+
+    def prep(pt):
+        x, y, z, f = pt
+        x = x.reshape(m, fq.NL)
+        y = y.reshape(m, fq.NL)
+        z = z.reshape(m, fq.NL)
+        f = f.reshape(m)
+        if mp != m:
+            padc = jnp.zeros((mp - m, fq.NL), jnp.int32)
+            x = jnp.concatenate([x, padc], axis=0)
+            y = jnp.concatenate([y, padc], axis=0)
+            z = jnp.concatenate([z, padc], axis=0)
+            f = jnp.concatenate(
+                [f, jnp.ones((mp - m,), f.dtype)], axis=0
+            )
+        return (
+            pfq.to_blocks(x), pfq.to_blocks(y), pfq.to_blocks(z),
+            pfq.flags_to_blocks(f),
+        )
+
+    ox, oy, oz, of = pfq.point_add_pallas(prep(p1), prep(p2))
+    ox = pfq.from_blocks(ox)[:m].reshape(lead + (fq.NL,))
+    oy = pfq.from_blocks(oy)[:m].reshape(lead + (fq.NL,))
+    oz = pfq.from_blocks(oz)[:m].reshape(lead + (fq.NL,))
+    of = pfq.flags_from_blocks(of)[:m].reshape(lead)
+    return (ox, oy, oz, of)
+
+
+def _make_add(pallas: bool):
+    """The add implementation for one MSM program: XLA everywhere, or
+    the fused Pallas kernel for every add whose (static) flattened size
+    reaches a kernel block — small tree tails and scan carries stay XLA
+    (they are far below the miscompile cliff and below kernel-padding
+    efficiency)."""
+    if not pallas:
+        return point_add
+
+    def add(p1, p2):
+        m = 1
+        for d in p1[0].shape[:-1]:
+            m *= d
+        if m >= _PALLAS_MIN_ROWS:
+            return _point_add_rows_pallas(p1, p2)
+        return point_add(p1, p2)
+
+    return add
+
+
 def _sel_pt(cond, a, b):
     """Pointwise select between two point tuples by a (m,) bool."""
     import jax.numpy as jnp
@@ -162,7 +230,7 @@ def _scatter_pt(bufs, key, val, valid, nb: int):
     return (bx, by, bz, binf)
 
 
-def _bucket_reduce(pt, keys, nb: int):
+def _bucket_reduce(pt, keys, nb: int, add=point_add):
     """Dense bucket sums of a KEY-SORTED point run, in n-1 point adds.
 
     Binary merge tree.  Each node summarizes a contiguous range by
@@ -205,7 +273,7 @@ def _bucket_reduce(pt, keys, nb: int):
         rT = tuple(a[1::2] for a in T)
         lkf, rkf = kf[0::2], kf[1::2]
         lkl, rkl = kl[0::2], kl[1::2]
-        bridge = point_add(lT, rH)
+        bridge = add(lT, rH)
         same = lkl == rkf
         ls = lkf == lkl  # left node spans a single segment
         rs = rkf == rkl
@@ -226,20 +294,20 @@ def _bucket_reduce(pt, keys, nb: int):
     return bufs
 
 
-def _tree_sum(pt):
+def _tree_sum(pt, add=point_add):
     """Fold a (power-of-two) leading axis by pairwise point_add.  Works
     at any rank: leaves are (m, ..., NL) coords + (m, ...) inf flags."""
     m = pt[0].shape[0]
     assert m & (m - 1) == 0, "_tree_sum requires power-of-two length"
     while m > 1:
-        pt = point_add(
+        pt = add(
             tuple(a[0::2] for a in pt), tuple(a[1::2] for a in pt)
         )
         m //= 2
     return pt
 
 
-def _weighted_bucket_sum(bufs, nb: int):
+def _weighted_bucket_sum(bufs, nb: int, add=point_add):
     """sum_{d>=1} d * B_d  =  sum_{t>=1} S_t  with  S_t = sum_{d>=t} B_d.
 
     The suffix prefix-sums S over buckets nb-1..1 run as chunked serial
@@ -274,7 +342,7 @@ def _weighted_bucket_sum(bufs, nb: int):
     )
 
     def step(acc, col):
-        acc = point_add(acc, col)
+        acc = add(acc, col)
         return acc, acc
 
     # identity carries derived from the data (not fresh constants) so the
@@ -286,7 +354,7 @@ def _weighted_bucket_sum(bufs, nb: int):
     rowtot = tuple(t[-1] for t in P)  # P: (C, R, ...)
 
     def step2(acc, row):
-        return point_add(acc, row), acc
+        return add(acc, row), acc
 
     rows = tuple(t[:, None] for t in rowtot)  # (R, 1, ...)
     _, offs = jax.lax.scan(
@@ -298,11 +366,11 @@ def _weighted_bucket_sum(bufs, nb: int):
         jnp.broadcast_to(t, (R, C) + t.shape[2:]) for t in offs
     )
     P_rc = tuple(jnp.moveaxis(t, 0, 1) for t in P)
-    S = point_add(offs_rc, P_rc)
+    S = add(offs_rc, P_rc)
     live = (jnp.arange(R * C) < L).reshape(R, C)
     S = (S[0], S[1], S[2], S[3] | ~live)
-    tot = _tree_sum(S)  # (1, C, ...)
-    tot = _tree_sum(tuple(t[0] for t in tot))  # (1, ...)
+    tot = _tree_sum(S, add)  # (1, C, ...)
+    tot = _tree_sum(tuple(t[0] for t in tot), add)  # (1, ...)
     return tuple(t[0] for t in tot)
 
 
@@ -325,7 +393,7 @@ def _weighted_bucket_sum(bufs, nb: int):
 _SAFE_ROWS = 4096
 
 
-def _bucket_chunked(dg, X, Y, Z, inf, nb: int, gc: int):
+def _bucket_chunked(dg, X, Y, Z, inf, nb: int, gc: int, add=point_add):
     """Dense bucket sums over chunked points: dg (nc, S) digits,
     X/Y/Z (nc, S, NL), inf (nc, S) -> (nb, NL)-coord bucket buffers.
 
@@ -342,7 +410,7 @@ def _bucket_chunked(dg, X, Y, Z, inf, nb: int, gc: int):
         order = jnp.argsort(dgc)
         d = dgc[order]
         pt = (xc[order], yc[order], zc[order], ic[order] | (d == 0))
-        return _bucket_reduce(pt, d, nb)
+        return _bucket_reduce(pt, d, nb, add)
 
     if nc == gc:
         bufs = jax.vmap(one_chunk)(dg, X, Y, Z, inf)
@@ -353,25 +421,29 @@ def _bucket_chunked(dg, X, Y, Z, inf, nb: int, gc: int):
         )
         bufs = jax.lax.map(lambda g: jax.vmap(one_chunk)(*g), grp)
         bufs = tuple(t.reshape((nc,) + t.shape[2:]) for t in bufs)
-    return tuple(t[0] for t in _tree_sum(bufs))
+    return tuple(t[0] for t in _tree_sum(bufs, add))
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_jit(n: int, window: int = WINDOW):
+def _msm_jit(n: int, window: int = WINDOW, pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
     nb = 1 << window
     nw = (255 + window - 1) // window
-    S = min(n, _SAFE_ROWS)
+    # Mosaic is unaffected by the 8192-row XLA miscompile, so the pallas
+    # program runs the FLAT merge tree (no chunk mitigation, ~2x fewer
+    # adds); the XLA program keeps the chunked-shape form.
+    S = n if pallas else min(n, _SAFE_ROWS)
     nc = n // S
     gc = max(1, min(nc, _MULTI_LANE_BUDGET // S))
     gc = 1 << (gc.bit_length() - 1)
+    add = _make_add(pallas)
 
     def one_window(carry, digits):
         X, Y, Z, inf = carry
-        bufs = _bucket_chunked(digits, X, Y, Z, inf, nb, gc)
-        wsum = _weighted_bucket_sum(bufs, nb)
+        bufs = _bucket_chunked(digits, X, Y, Z, inf, nb, gc, add)
+        wsum = _weighted_bucket_sum(bufs, nb, add)
         return (X, Y, Z, inf), wsum
 
     def msm(digits_all, Xs, Ys, inf):
@@ -589,18 +661,26 @@ def _window_digits(scalars_u64: np.ndarray, window: int = WINDOW) -> np.ndarray:
     return out
 
 
-def g1_msm_tpu(points, scalars, window: int | None = None):
+def g1_msm_tpu(points, scalars, window: int | None = None,
+               use_pallas: bool | None = None):
     """MSM over a points.G1Array; returns an affine point or None.
     Differentially tested against the native C backend.  `window` trades
     bucket-scan length (2^w) for window count (255/w); None uses the
     module default (12, the TPU sweet spot) — tests pass small windows
-    to keep CPU runtime sane."""
+    to keep CPU runtime sane.  use_pallas: None resolves via the Mosaic
+    capability probe; True routes every >= 1024-row point_add through
+    the fused VMEM kernel (ops/pallas_fq.py) and runs the FLAT merge
+    tree (no 8192-row chunk mitigation)."""
     import jax.numpy as jnp
 
     from .points import G1Array, ints_to_limbs
 
     if window is None:
         window = WINDOW
+    if use_pallas is None:
+        from ..ops.pallas_support import resolve_backend
+
+        use_pallas = resolve_backend(None)
     assert isinstance(points, G1Array)
     n = len(points)
     # pad to the next power of two (infinity points, zero scalars): one
@@ -620,7 +700,9 @@ def g1_msm_tpu(points, scalars, window: int | None = None):
     Xs, Ys, inf = _points_std_limbs(points, n_pad)
     ox, oy, oz, oinf = (
         np.asarray(t)
-        for t in _msm_jit(n_pad, window)(jnp.asarray(digits), Xs, Ys, inf)
+        for t in _msm_jit(n_pad, window, use_pallas)(
+            jnp.asarray(digits), Xs, Ys, inf
+        )
     )
     if bool(oinf):
         return None

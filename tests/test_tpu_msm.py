@@ -224,3 +224,38 @@ def test_msm_chunked_path_matches_host(monkeypatch):
     finally:
         tpu_msm._msm_jit.cache_clear()
         tpu_msm._msm_multi_jit.cache_clear()
+
+
+@pytest.mark.slow
+def test_msm_pallas_flat_path_matches_host(monkeypatch):
+    """The round-4 Pallas MSM path: flat merge tree (no chunk
+    mitigation) with every >= _PALLAS_MIN_ROWS point_add routed through
+    the fused VMEM kernel (interpret mode on CPU).  Small threshold so
+    the tree levels, the weighted-sum combine, and the row<->block
+    padding wrapper all execute hermetically."""
+    import falcon_r1cs_tpu.ops.pallas_fq as pfq
+
+    monkeypatch.setattr(pfq, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(tpu_msm, "_PALLAS_MIN_ROWS", 8)
+    tpu_msm._msm_jit.cache_clear()
+    pfq._build_point_add_cached.cache_clear()
+    try:
+        n = 32
+        gen = bls.g1_from_affine(bls.G1_GEN)
+        pts = [bls.g1_to_affine(bls.g1_mul(gen, k + 2)) for k in range(n)]
+        pts[9] = None
+        arr = G1Array.from_affine_list(pts)
+        scalars = [secrets.randbelow(16) for _ in range(n)]
+        scalars[3] = 0
+        for i in range(6, 26):
+            scalars[i] = 5  # heavy same-digit runs (split segments)
+        got = tpu_msm.g1_msm_tpu(arr, scalars, window=4, use_pallas=True)
+        acc = None
+        for p, s in zip(pts, scalars):
+            if p is None or s == 0:
+                continue
+            acc = bls.g1_add(acc, bls.g1_mul(bls.g1_from_affine(p), s))
+        assert got == bls.g1_to_affine(acc)
+    finally:
+        tpu_msm._msm_jit.cache_clear()
+        pfq._build_point_add_cached.cache_clear()
