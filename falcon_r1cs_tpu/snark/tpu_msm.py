@@ -134,7 +134,12 @@ def point_add(p1, p2):
     return (X3, Y3, Z3, is_inf3)
 
 
-_PALLAS_MIN_ROWS = 1024  # pad/dispatch threshold for the fused kernel
+# pad/dispatch threshold for the fused kernel: 1 = EVERY point_add in a
+# pallas program runs the VMEM kernel (padded to one 1024-point block).
+# Measured at n_pad=2^17: 1.56 s/MSM at threshold 1 vs 2.09 s at 1024 —
+# the sub-1024 tree tails and the weighted-sum scan steps are sequential
+# small adds where even a padded kernel call beats the XLA point_add.
+_PALLAS_MIN_ROWS = 1
 
 
 def _point_add_rows_pallas(p1, p2):
