@@ -312,7 +312,49 @@ def _tree_sum(pt, add=point_add):
     return pt
 
 
-def _weighted_bucket_sum(bufs, nb: int, add=point_add):
+def _weighted_bucket_sum_parallel(bufs, nb: int, add):
+    """sum_d d*B_d as ONE log-depth Hillis-Steele inclusive prefix over
+    the reversed bucket order (prefix[i] = S_{nb-1-i}) plus a pairwise
+    tree: ~2*log2(nb) WIDE adds total, vs the serial form's C + R
+    sequential steps.  Work-inefficient (nb*log2(nb) adds vs ~3*nb) but
+    every add is an nb-wide fused-kernel call, so on the Pallas path the
+    critical-path collapse wins by far (the serial form spent most of
+    the MSM in ~128 small sequential steps per window)."""
+    import jax.numpy as jnp
+
+    bx, by, bz, binf = bufs
+    pt = (bx[:0:-1], by[:0:-1], bz[:0:-1], binf[:0:-1])  # buckets nb-1..1
+    L = nb - 1
+    P2 = 1 << max(1, (L - 1).bit_length())
+
+    def pad_end(x, count, fill):
+        f = jnp.full((count,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, f], axis=0)
+
+    pt = (
+        pad_end(pt[0], P2 - L, 0), pad_end(pt[1], P2 - L, 0),
+        pad_end(pt[2], P2 - L, 0), pad_end(pt[3], P2 - L, True),
+    )
+    s = 1
+    while s < P2:
+        shifted = (
+            jnp.concatenate([pt[0][:s] * 0, pt[0][: P2 - s]], axis=0),
+            jnp.concatenate([pt[1][:s] * 0, pt[1][: P2 - s]], axis=0),
+            jnp.concatenate([pt[2][:s] * 0, pt[2][: P2 - s]], axis=0),
+            jnp.concatenate(
+                [pt[3][:s] | True, pt[3][: P2 - s]], axis=0
+            ),
+        )
+        pt = add(pt, shifted)
+        s <<= 1
+    live = jnp.arange(P2) < L
+    pt = (pt[0], pt[1], pt[2], pt[3] | ~live)
+    tot = _tree_sum(pt, add)
+    return tuple(t[0] for t in tot)
+
+
+def _weighted_bucket_sum(bufs, nb: int, add=point_add,
+                         parallel_scan: bool = False):
     """sum_{d>=1} d * B_d  =  sum_{t>=1} S_t  with  S_t = sum_{d>=t} B_d.
 
     The suffix prefix-sums S over buckets nb-1..1 run as chunked serial
@@ -320,7 +362,10 @@ def _weighted_bucket_sum(bufs, nb: int, add=point_add):
     for scan-based suffixing): an inclusive lax.scan across C columns at
     width R (rows = chunks of the reversed bucket order), an exclusive
     width-1 scan over the R row totals, then one wide add to combine and
-    a pairwise tree for the final total."""
+    a pairwise tree for the final total.  parallel_scan=True (the Pallas
+    path) switches to the log-depth wide form above."""
+    if parallel_scan:
+        return _weighted_bucket_sum_parallel(bufs, nb, add)
     import jax
     import jax.numpy as jnp
 
@@ -434,6 +479,13 @@ def _msm_jit(n: int, window: int = WINDOW, pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
+    if pallas:
+        # round-4 v2: the limb-major transpose-free engine (bit-reversed
+        # contiguous-half merge tree; see snark/tpu_msm_blocks.py)
+        from . import tpu_msm_blocks as tmb
+
+        return tmb.msm_jit_blocks(n, window)
+
     nb = 1 << window
     nw = (255 + window - 1) // window
     # Mosaic is unaffected by the 8192-row XLA miscompile, so the pallas
@@ -448,7 +500,7 @@ def _msm_jit(n: int, window: int = WINDOW, pallas: bool = False):
     def one_window(carry, digits):
         X, Y, Z, inf = carry
         bufs = _bucket_chunked(digits, X, Y, Z, inf, nb, gc, add)
-        wsum = _weighted_bucket_sum(bufs, nb, add)
+        wsum = _weighted_bucket_sum(bufs, nb, add, parallel_scan=pallas)
         return (X, Y, Z, inf), wsum
 
     def msm(digits_all, Xs, Ys, inf):
@@ -531,7 +583,8 @@ def _msm_multi_jit(n: int, K: int, kc: int, window: int = WINDOW,
             bufs = _bucket_chunked(
                 digits.reshape(nc, S), X, Y, Z, infc, nb, gc, add
             )
-            return _weighted_bucket_sum(bufs, nb, add)
+            return _weighted_bucket_sum(bufs, nb, add,
+                                        parallel_scan=pallas)
 
         def one_window(carry, digits_w):  # digits_w: (K, n)
             grouped = digits_w.reshape(K // kc, kc, n)
