@@ -40,7 +40,11 @@ K x n_pad lane-dispatches are capped at 2^19 per jit call because
 ~103 s device programs reproducibly crash the tunneled worker
 (g1_msm_tpu_multi chunks K across dispatches).  The VMEM-resident
 Pallas point kernels (ops/pallas_fq.py) are the round-4 path past the
-HBM-bound XLA formulation.
+HBM-bound XLA formulation: `use_pallas=True` (the default when the
+Mosaic capability probe passes) runs the limb-major v2 engine
+(snark/tpu_msm_blocks.py) at **1.06 s/MSM** for the same shape — ~12x
+the XLA path, ~6x from the host C (ENGINEERING.md "The Pallas MSM
+optimization ladder").
 """
 
 from __future__ import annotations
