@@ -63,12 +63,31 @@ def main():
     )
     print(f"dual engine bit-exact on {platform}: {ok2}")
 
+    # Pallas Fq kernel bit-equality on hardware (one 1024-row block;
+    # ~2 s compile — the MSM point-arithmetic path's live smoke)
+    import jax.numpy as jnp
+
+    import falcon_r1cs_tpu.ops.fq_mont as fq
+    import falcon_r1cs_tpu.ops.pallas_fq as pfq
+
+    rng2 = np.random.default_rng(7)
+    a = jnp.asarray(fq.int_to_limbs(
+        [int.from_bytes(rng2.bytes(47), "little") % fq.Q381
+         for _ in range(1024)]))
+    b = jnp.asarray(fq.int_to_limbs(
+        [int.from_bytes(rng2.bytes(47), "little") % fq.Q381
+         for _ in range(1024)]))
+    got = np.asarray(pfq.from_blocks(
+        pfq.mont_mul_pallas(pfq.to_blocks(a), pfq.to_blocks(b))))
+    ok3 = np.array_equal(got, np.asarray(fq.mont_mul(a, b)))
+    print(f"pallas fq mont_mul bit-exact on {platform}: {ok3}")
+
     from bench import bench_witnesses_device
 
     rate = bench_witnesses_device()
     print(f"device-profiled headline: "
           f"{rate:,.0f} wit/s" if rate else "device profiling unavailable")
-    if not (ok1 and ok2):
+    if not (ok1 and ok2 and ok3):
         sys.exit(1)
     print("tpu live check: PASS")
 
