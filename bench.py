@@ -398,6 +398,56 @@ def bench_groth16(n=512, prove_iters=3):
 _GROTH16_CTX: dict = {}
 
 
+def bench_tpu_msm(iters=2):
+    """On-chip Pallas wide-tree G1 MSM (snark/tpu_msm_blocks.py) at the
+    falcon-512 h_query shape (n_pad = 2^17) — the Groth16 prover hot
+    loop this path exists to scale (reference examples/pok_sig.rs:32).
+    Device-profiled MSMs/s (trace "XLA Ops" rows; host wall-clock through
+    the tunnel drifts badly), cross-checked bit-exact against the host C
+    backend when available.  TPU-only: the CPU interpret path takes
+    minutes at this shape."""
+    import jax
+
+    if jax.devices()[0].platform.lower() not in ("tpu", "axon"):
+        return None
+    import falcon_r1cs_tpu.snark.bls12_381 as bls
+    from falcon_r1cs_tpu.snark import tpu_msm
+    from falcon_r1cs_tpu.snark.points import ints_to_limbs
+
+    if not _GROTH16_CTX:
+        bench_groth16()
+    pts = _GROTH16_CTX["pk"].h_query
+    n = len(pts)
+    rng = np.random.default_rng(11)
+    scalars = ints_to_limbs(
+        [int.from_bytes(rng.bytes(32), "little") % bls.R for _ in range(n)],
+        4,
+    )
+    got = tpu_msm.g1_msm_tpu(pts, scalars, use_pallas=True)  # compile+warm
+    from falcon_r1cs_tpu.snark import native_backend as nb
+
+    if nb.available():
+        assert got == nb.g1_msm(pts, scalars), "TPU MSM != host C"
+
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_msm_")
+    try:
+        jax.profiler.start_trace(tmp)
+        try:
+            for _ in range(iters):
+                tpu_msm.g1_msm_tpu(pts, scalars, use_pallas=True)
+        finally:
+            jax.profiler.stop_trace()
+        dev_us = device_time_us_from_trace(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not dev_us:
+        return None
+    return iters / (dev_us / 1e6)  # MSMs per device-second
+
+
 def _batch_assignments(K, n=512):
     """K DISTINCT satisfying assignments (prove-mode traced synthesis of
     K seeded instances), disk-cached as one limb tensor so only the first
@@ -568,6 +618,10 @@ def main():
          lambda: bench_pipeline_device() or 0, 30),
         ("dual_ntt_witnesses_per_sec", bench_dual, 120),
         ("schoolbook_witnesses_per_sec", bench_schoolbook, 120),
+        # last: its pre-check cost is dominated by one remote compile of
+        # the wide-tree MSM program; when earlier stages ran long this is
+        # the stage to sacrifice
+        ("tpu_msm2e17_msms_per_sec", lambda: bench_tpu_msm() or 0, 150),
     ]
     import signal
 

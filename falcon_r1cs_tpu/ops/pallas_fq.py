@@ -264,6 +264,8 @@ def _build_mul(depth: int, interpret: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _build_mul_cached(depth: int, interpret: bool):
+    import jax as _jax
+
     def kernel(a_ref, b_ref, mu_ref, q_ref, cw_ref, o_ref, prod_ref):
         a = a_ref[:, 0]
         b = b_ref[:, 0]
@@ -285,7 +287,11 @@ def _build_mul_cached(depth: int, interpret: bool):
             interpret=interpret,
         )(a_blocks, b_blocks, *_MUL_CONSTS)
 
-    return run
+    # jit: the ~2k-eq kernel jaxpr is traced ONCE per block count and
+    # reused at every same-shape call site (an un-jitted pallas_call
+    # re-traces the kernel per invocation — tracing dominated wall time
+    # for programs with many call sites)
+    return _jax.jit(run)
 
 
 def mont_mul_pallas(a_blocks, b_blocks, interpret: bool = False):
@@ -384,6 +390,8 @@ def _build_point_add(interpret: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _build_point_add_cached(interpret: bool):
+    import jax as _jax
+
     def run(p1, p2):
         x1, y1, z1, f1 = p1
         x2, y2, z2, f2 = p2

@@ -543,8 +543,14 @@ def _msm_jit(n: int, window: int = WINDOW, pallas: bool = False):
 _MULTI_LANE_BUDGET = 1 << 17
 # max K*n_pad lanes per DISPATCH (watchdog bound, not memory — see
 # g1_msm_tpu_multi): 2^19 ~ 4 MSM-equivalents at the falcon-512 h_query
-# shape ~ 52 s device time, measured safe; 8 equivalents crashed twice.
+# shape ~ 52 s device time on the chunked-XLA path, measured safe; 8
+# equivalents crashed twice.
 _MAX_DISPATCH_LANES = 1 << 19
+# the wide-tree Pallas engine runs ~0.6 s/MSM at 2^17 (20x the XLA
+# path), so its watchdog-safe dispatch is much larger; 2^21 ~ 16
+# MSM-equivalents ~ 10 s device time, and the compiled program grows
+# with K (the window-group loop unrolls), so keep it moderate
+_MAX_DISPATCH_LANES_PALLAS = 1 << 21
 
 
 @functools.lru_cache(maxsize=None)
@@ -563,6 +569,14 @@ def _msm_multi_jit(n: int, K: int, kc: int, window: int = WINDOW,
     v5e HBM by 158 M."""
     import jax
     import jax.numpy as jnp
+
+    if pallas:
+        # round-4 v3: all K*nw scalar windows ride one wide limb-major
+        # tree (snark/tpu_msm_blocks.py); kc is moot — HBM is bounded by
+        # the engine's own window-group loop, not a K-chunked vmap
+        from . import tpu_msm_blocks as tmb
+
+        return tmb.msm_jit_blocks_multi(n, K, window)
 
     assert K % kc == 0, (K, kc)
     nb = 1 << window
@@ -646,7 +660,8 @@ def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None,
     # K=4 (~52 s) is fine.  Chunk the K axis across dispatches so each
     # stays ~<= 2^19 lane-dispatches (~52 s at 2^17); the re-paid
     # point upload/to_mont per dispatch is noise next to the adds.
-    kd = max(1, _MAX_DISPATCH_LANES // n_pad)
+    lanes = _MAX_DISPATCH_LANES_PALLAS if use_pallas else _MAX_DISPATCH_LANES
+    kd = max(1, lanes // n_pad)
     if K > kd:
         out = []
         for off in range(0, K, kd):

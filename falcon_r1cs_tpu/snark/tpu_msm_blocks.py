@@ -6,18 +6,29 @@ window: ~60% of device time was row<->block LAYOUT CONVERSION and the
 XLA pad/slice glue around every tree level (each `point_add` wrapper
 transposed (m, 35) tensors to the kernel's limb-major block form and
 back).  This module keeps the ENTIRE per-window pipeline in limb-major
-form — coords (NL, m) int32, flags (m,) bool — so kernel calls are free
-reshapes, and restructures the merge tree with a BIT-REVERSED leaf
-placement:
+form — coords (NL, ..., m) int32, flags (..., m) bool — so kernel calls
+are free reshapes, and restructures the merge tree with a BIT-REVERSED
+leaf placement:
 
     position p holds sorted element brev(p)
 
 With that placement, the classic adjacent-pair merge becomes a
-CONTIGUOUS-HALF merge at every level (left children = act[:, :c/2],
-right = act[:, c/2:c], partner p <-> p + c/2 covering adjacent sorted
+CONTIGUOUS-HALF merge at every level (left children = act[..., :c/2],
+right = act[..., c/2:c], partner p <-> p + c/2 covering adjacent sorted
 ranges — the Cooley-Tukey duality), so tree levels use plain slices
 instead of the stride-2 deinterleaves that forced the transposes.  The
 bit-reversal composes into the post-sort gather for free.
+
+v3 (wide tree): the v2 engine still ran the 22 scalar windows serially
+(`lax.scan`), so every tree level, select, and scatter executed 22
+times at 1/22nd of the efficient width — and the deep tree levels
+(width < a few thousand) were pure dispatch latency.  Here ALL windows
+of a group ride a single tree: coords carry an explicit window axis
+((NL, W, c)), every per-level add/select/scatter is W-fold wider, the
+22 argsorts become one batched sort, and bucket keys scatter into a
+single (NL, W*nb) buffer bank with a per-window offset.  Group size is
+bounded by `_group_windows` purely for HBM headroom; windows in a
+group share every level's kernel dispatch.
 
 Everything else mirrors snark/tpu_msm.py: same H/T/kf/kl segment
 bookkeeping, same single-scatter-per-bucket emission argument, same
@@ -29,6 +40,7 @@ differentially tested against the host backend and the row-layout path
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -37,21 +49,28 @@ from . import tpu_msm as tm
 
 
 def _flat_add_factory():
-    """Complete point_add on limb-major flat points ((NL, m) coords +
-    (m,) bool flags): pad m to a kernel-block multiple, reshape (free —
-    the flat layout IS the block layout's row-major order), one fused
-    kernel call, slice back."""
+    """Complete point_add on limb-major flat points ((NL, ..., m) coords
+    + (..., m) bool flags): flatten the batch axes, pad to a
+    kernel-block multiple, reshape (free — the flat layout IS the block
+    layout's row-major order), one fused kernel call, slice back."""
     import jax.numpy as jnp
 
     from ..ops import pallas_fq as pfq
 
     def add(p1, p2):
-        m = p1[0].shape[1]
+        shp = p1[3].shape  # batch shape, e.g. (W, c) or (c,)
+        m = 1
+        for s in shp:
+            m *= s
         mp = ((m + pfq.BLK - 1) // pfq.BLK) * pfq.BLK
         nbk = mp // pfq.BLK
 
         def prep(pt):
             x, y, z, f = pt
+            x = x.reshape(fq.NL, m)
+            y = y.reshape(fq.NL, m)
+            z = z.reshape(fq.NL, m)
+            f = f.reshape(m)
             if mp != m:
                 padc = jnp.zeros((fq.NL, mp - m), jnp.int32)
                 x = jnp.concatenate([x, padc], axis=1)
@@ -69,54 +88,62 @@ def _flat_add_factory():
 
         ox, oy, oz, of = pfq.point_add_pallas(prep(p1), prep(p2))
         return (
-            ox.reshape(fq.NL, mp)[:, :m],
-            oy.reshape(fq.NL, mp)[:, :m],
-            oz.reshape(fq.NL, mp)[:, :m],
-            (of.reshape(mp) != 0)[:m],
+            ox.reshape(fq.NL, mp)[:, :m].reshape((fq.NL,) + shp),
+            oy.reshape(fq.NL, mp)[:, :m].reshape((fq.NL,) + shp),
+            oz.reshape(fq.NL, mp)[:, :m].reshape((fq.NL,) + shp),
+            (of.reshape(mp) != 0)[:m].reshape(shp),
         )
 
     return add
 
 
 def _sel(cond, a, b):
-    """Select between two flat point tuples by a (m,) bool."""
+    """Select between two flat point tuples by a (..., m) bool."""
     import jax.numpy as jnp
 
     return (
-        jnp.where(cond[None, :], a[0], b[0]),
-        jnp.where(cond[None, :], a[1], b[1]),
-        jnp.where(cond[None, :], a[2], b[2]),
+        jnp.where(cond[None], a[0], b[0]),
+        jnp.where(cond[None], a[1], b[1]),
+        jnp.where(cond[None], a[2], b[2]),
         jnp.where(cond, a[3], b[3]),
     )
 
 
 def _scatter(bufs, key, val, valid, nb: int):
-    """Write flat point columns into the (NL, nb) bucket arrays."""
+    """Write flat point columns into the (NL, W*nb) bucket bank.
+
+    `key` is (W, c) in [0, nb); each window's keys are offset into its
+    own nb-wide slot so one scatter serves the whole group."""
     import jax.numpy as jnp
 
     bx, by, bz, binf = bufs
-    idx = jnp.where(valid, key, nb).astype(jnp.int32)
-    bx = bx.at[:, idx].set(val[0], mode="drop")
-    by = by.at[:, idx].set(val[1], mode="drop")
-    bz = bz.at[:, idx].set(val[2], mode="drop")
-    binf = binf.at[idx].set(val[3], mode="drop")
+    W, c = key.shape
+    off = (jnp.arange(W, dtype=jnp.int32) * nb)[:, None]
+    idx = jnp.where(valid, key + off, W * nb).astype(jnp.int32).reshape(-1)
+    bx = bx.at[:, idx].set(val[0].reshape(fq.NL, -1), mode="drop")
+    by = by.at[:, idx].set(val[1].reshape(fq.NL, -1), mode="drop")
+    bz = bz.at[:, idx].set(val[2].reshape(fq.NL, -1), mode="drop")
+    binf = binf.at[idx].set(val[3].reshape(-1), mode="drop")
     return (bx, by, bz, binf)
 
 
 def _bucket_reduce_flat(pt, keys, nb: int, add):
-    """tpu_msm._bucket_reduce with bit-reversed placement: leaves must
+    """tpu_msm._bucket_reduce with bit-reversed placement and an
+    explicit window axis: coords (NL, W, n), keys (W, n).  Leaves must
     arrive with position p holding sorted element brev(p); merges then
-    read CONTIGUOUS halves (left = [:c2], right = [c2:c], partner
-    p <-> p + c2 covering adjacent sorted ranges)."""
+    read CONTIGUOUS halves (left = [..., :c2], right = [..., c2:c],
+    partner p <-> p + c2 covering adjacent sorted ranges).  All W
+    windows share every level's kernel dispatch; returns the
+    (NL, W*nb) bucket bank."""
     import jax.numpy as jnp
 
-    n = keys.shape[0]
+    W, n = keys.shape
     assert n & (n - 1) == 0
     bufs = (
-        jnp.zeros((fq.NL, nb), jnp.int32),
-        jnp.zeros((fq.NL, nb), jnp.int32),
-        jnp.zeros((fq.NL, nb), jnp.int32),
-        jnp.ones((nb,), bool),
+        jnp.zeros((fq.NL, W * nb), jnp.int32),
+        jnp.zeros((fq.NL, W * nb), jnp.int32),
+        jnp.zeros((fq.NL, W * nb), jnp.int32),
+        jnp.ones((W * nb,), bool),
     )
     H = T = pt
     kf = kl = keys
@@ -127,8 +154,8 @@ def _bucket_reduce_flat(pt, keys, nb: int, add):
         rH = tuple(a[..., c2:c] for a in H)
         lT = tuple(a[..., :c2] for a in T)
         rT = tuple(a[..., c2:c] for a in T)
-        lkf, rkf = kf[:c2], kf[c2:c]
-        lkl, rkl = kl[:c2], kl[c2:c]
+        lkf, rkf = kf[..., :c2], kf[..., c2:c]
+        lkl, rkl = kl[..., :c2], kl[..., c2:c]
         bridge = add(lT, rH)
         same = lkl == rkf
         ls = lkf == lkl
@@ -140,7 +167,7 @@ def _bucket_reduce_flat(pt, keys, nb: int, add):
         bufs = _scatter(bufs, rkf, rH, ~same & ~rs, nb)
         kf, kl = lkf, rkl
         c = c2
-    bufs = _scatter(bufs, kf, H, jnp.ones((1,), bool), nb)
+    bufs = _scatter(bufs, kf, H, jnp.ones((W, 1), bool), nb)
     bufs = _scatter(bufs, kl, T, kl != kf, nb)
     return bufs
 
@@ -158,15 +185,23 @@ def _tree_sum_flat(pt, add):
     return pt
 
 
-def _weighted_bucket_sum_flat(bufs, nb: int, add):
-    """Log-depth Hillis-Steele suffix prefix + pairwise tree, limb-major
-    (tpu_msm._weighted_bucket_sum_parallel in flat layout).  NOTE the
-    pairing inside the tree is positional — fine, bucket order is
-    irrelevant to the total."""
+def _weighted_bucket_sum_flat(bufs, W: int, nb: int, add):
+    """Log-depth Hillis-Steele suffix prefix + pairwise tree over the
+    (NL, W*nb) bucket bank (tpu_msm._weighted_bucket_sum_parallel in
+    flat layout, all W windows per dispatch).  Shifts run along the
+    per-window bucket axis, so windows never mix.  NOTE the pairing
+    inside the tree is positional — fine, bucket order is irrelevant to
+    the total.  Returns coords (NL, W, 1) + inf (W, 1)."""
     import jax.numpy as jnp
 
     bx, by, bz, binf = bufs
-    pt = (bx[:, :0:-1], by[:, :0:-1], bz[:, :0:-1], binf[:0:-1])
+    bx = bx.reshape(fq.NL, W, nb)
+    by = by.reshape(fq.NL, W, nb)
+    bz = bz.reshape(fq.NL, W, nb)
+    binf = binf.reshape(W, nb)
+    # bucket 0 has weight 0: drop it, reverse so position j holds bucket
+    # nb-1-j and the suffix prefix produces sum_{k>=j} bucket_k
+    pt = (bx[..., :0:-1], by[..., :0:-1], bz[..., :0:-1], binf[..., :0:-1])
     L = nb - 1
     P2 = 1 << max(1, (L - 1).bit_length())
 
@@ -184,20 +219,22 @@ def _weighted_bucket_sum_flat(bufs, nb: int, add):
     while s < P2:
         shifted = (
             jnp.concatenate(
-                [pt[0][:, :s] * 0, pt[0][:, : P2 - s]], axis=1
+                [pt[0][..., :s] * 0, pt[0][..., : P2 - s]], axis=-1
             ),
             jnp.concatenate(
-                [pt[1][:, :s] * 0, pt[1][:, : P2 - s]], axis=1
+                [pt[1][..., :s] * 0, pt[1][..., : P2 - s]], axis=-1
             ),
             jnp.concatenate(
-                [pt[2][:, :s] * 0, pt[2][:, : P2 - s]], axis=1
+                [pt[2][..., :s] * 0, pt[2][..., : P2 - s]], axis=-1
             ),
-            jnp.concatenate([pt[3][:s] | True, pt[3][: P2 - s]], axis=0),
+            jnp.concatenate(
+                [pt[3][..., :s] | True, pt[3][..., : P2 - s]], axis=-1
+            ),
         )
         pt = add(pt, shifted)
         s <<= 1
     live = jnp.arange(P2) < L
-    pt = (pt[0], pt[1], pt[2], pt[3] | ~live)
+    pt = (pt[0], pt[1], pt[2], pt[3] | ~live[None, :])
     return _tree_sum_flat(pt, add)
 
 
@@ -215,9 +252,100 @@ def _brev(n: int) -> np.ndarray:
     return out
 
 
+def _group_windows(n: int, nw: int) -> int:
+    """Windows per wide-tree group: bounded so one group's live tree
+    tensors (~4 x 3 coords x NL x W x n int32 at the top level) stay
+    within HBM headroom; override with FALCON_R1CS_TPU_MSM_GROUP."""
+    env = os.environ.get("FALCON_R1CS_TPU_MSM_GROUP")
+    if env:
+        return max(1, min(nw, int(env)))
+    # ~18.4 MB per coord tensor per window at n=2^17; budget ~6 GB of
+    # live top-level tree state on a 16 GB part
+    per_w = 4 * 3 * fq.NL * n * 4
+    g = max(1, int(6e9 // per_w))
+    return min(nw, g)
+
+
+def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
+                 brev_d):
+    """Shared wide-tree core: per-window bucket-weighted sums.
+
+    digits_flat (nW, n) int32 — any stack of scalar windows over ONE
+    point set (a single MSM's nw windows, or K MSMs' nw*K); returns
+    coords (NL, nW, 1) + inf (nW, 1).  Windows are processed G at a
+    time purely to bound live HBM."""
+    import jax.numpy as jnp
+
+    nW = digits_flat.shape[0]
+    # one batched sort + bit-reversed placement for ALL windows
+    order = jnp.argsort(digits_flat, axis=1)  # (nW, n)
+    idx_all = order[:, brev_d]
+    d_all = jnp.take_along_axis(digits_flat, idx_all, axis=1)
+
+    wx, wy, wz, wi = [], [], [], []
+    for g0 in range(0, nW, G):
+        g1 = min(nW, g0 + G)
+        W = g1 - g0
+        idx = idx_all[g0:g1]  # (W, n)
+        d = d_all[g0:g1]
+        pt = (
+            Xm[:, idx],  # (NL, W, n)
+            Ym[:, idx],
+            jnp.broadcast_to(
+                jnp.asarray(tm._Z_ONE)[:, None, None], (fq.NL, W, n)
+            ),
+            inf[idx] | (d == 0),
+        )
+        bufs = _bucket_reduce_flat(pt, d, nb, add)
+        sx, sy, sz, si = _weighted_bucket_sum_flat(bufs, W, nb, add)
+        wx.append(sx)
+        wy.append(sy)
+        wz.append(sz)
+        wi.append(si)
+
+    return (
+        jnp.concatenate(wx, axis=1),  # (NL, nW, 1)
+        jnp.concatenate(wy, axis=1),
+        jnp.concatenate(wz, axis=1),
+        jnp.concatenate(wi, axis=0),  # (nW, 1)
+    )
+
+
+def _horner_fold(ws, nw: int, K: int, window: int):
+    """Fold per-window sums (coords (NL, nw, K)) into K row-layout
+    points ((K, NL) coords + (K,) inf), high window first:
+    total = total * 2^window + w_sum.  The doubles/adds run on all K
+    lanes at once (XLA row-layout point ops)."""
+    import jax
+    import jax.numpy as jnp
+
+    total = (
+        jnp.transpose(ws[0][:, nw - 1], (1, 0)),  # (K, NL)
+        jnp.transpose(ws[1][:, nw - 1], (1, 0)),
+        jnp.transpose(ws[2][:, nw - 1], (1, 0)),
+        ws[3][nw - 1],
+    )
+    rest = (
+        jnp.transpose(ws[0][:, nw - 2 :: -1], (1, 2, 0)),  # (nw-1, K, NL)
+        jnp.transpose(ws[1][:, nw - 2 :: -1], (1, 2, 0)),
+        jnp.transpose(ws[2][:, nw - 2 :: -1], (1, 2, 0)),
+        ws[3][nw - 2 :: -1],
+    )
+
+    def fold(tot, nxt):
+        tot = jax.lax.fori_loop(
+            0, window, lambda _, p: tm.point_double(p), tot
+        )
+        return tm.point_add(tot, nxt), None
+
+    total, _ = jax.lax.scan(fold, total, rest)
+    return total
+
+
 @functools.lru_cache(maxsize=None)
 def msm_jit_blocks(n: int, window: int):
-    """jit-compiled limb-major Pallas MSM program for (n_pad, window)."""
+    """jit-compiled limb-major wide-tree Pallas MSM program for
+    (n_pad, window)."""
     import jax
     import jax.numpy as jnp
 
@@ -225,59 +353,52 @@ def msm_jit_blocks(n: int, window: int):
     nw = (255 + window - 1) // window
     add = _flat_add_factory()
     brev = _brev(n)
+    G = _group_windows(n, nw)
 
     def msm(digits_all, Xs, Ys, inf):
         # to Montgomery in row layout (fq ops are limb-minor), then ONE
         # transpose into limb-major for the whole MSM
         Xm = jnp.transpose(fq.to_mont(Xs), (1, 0))  # (NL, n)
         Ym = jnp.transpose(fq.to_mont(Ys), (1, 0))
-        Zm = jnp.broadcast_to(
-            jnp.asarray(tm._Z_ONE)[:, None], (fq.NL, n)
+        ws = _window_sums(
+            digits_all, Xm, Ym, inf, n, nb, add, G, jnp.asarray(brev)
         )
-        brev_d = jnp.asarray(brev)
-
-        def one_window(carry, digits):
-            order = jnp.argsort(digits)
-            idx = order[brev_d]  # sorted + bit-reversed placement
-            d = digits[idx]
-            pt = (
-                Xm[:, idx], Ym[:, idx], Zm,
-                inf[idx] | (d == 0),
-            )
-            bufs = _bucket_reduce_flat(pt, d, nb, add)
-            wsum = _weighted_bucket_sum_flat(bufs, nb, add)
-            return carry, wsum
-
-        _, wsums = jax.lax.scan(one_window, 0, digits_all)
-        # Horner fold in row layout (single points; XLA ops)
-        def row(ptc, w):
-            return tuple(
-                jnp.transpose(t[w], (1, 0)) if t.ndim == 3 else t[w]
-                for t in ptc
-            )
-
-        ws = tuple(wsums)  # coords (nw, NL, 1), inf (nw, 1)
-        total = (
-            jnp.transpose(ws[0][nw - 1], (1, 0)),
-            jnp.transpose(ws[1][nw - 1], (1, 0)),
-            jnp.transpose(ws[2][nw - 1], (1, 0)),
-            ws[3][nw - 1],
-        )
-        rest = tuple(t[nw - 2 :: -1] for t in ws)
-
-        def fold(tot, nxt):
-            tot = jax.lax.fori_loop(
-                0, window, lambda _, p: tm.point_double(p), tot
-            )
-            nxt_row = (
-                jnp.transpose(nxt[0], (1, 0)),
-                jnp.transpose(nxt[1], (1, 0)),
-                jnp.transpose(nxt[2], (1, 0)),
-                nxt[3],
-            )
-            return tm.point_add(tot, nxt_row), None
-
-        total, _ = jax.lax.scan(fold, total, rest)
+        total = _horner_fold(ws, nw, 1, window)
         return tuple(t[0] for t in total)
 
     return jax.jit(msm)
+
+
+@functools.lru_cache(maxsize=None)
+def msm_jit_blocks_multi(n: int, K: int, window: int):
+    """K MSMs over ONE point set through the wide tree: all K*nw scalar
+    windows ride the same group loop (the batched-Groth16 prove shape
+    of snark/tpu_msm.g1_msm_tpu_multi).  Returns K row-layout points
+    ((K, NL) coords + (K,) inf)."""
+    import jax
+    import jax.numpy as jnp
+
+    nb = 1 << window
+    nw = (255 + window - 1) // window
+    add = _flat_add_factory()
+    brev = _brev(n)
+    G = _group_windows(n, nw * K)
+
+    def msm_multi(digits_all, Xs, Ys, inf):
+        # digits_all: (nw, K, n) — flatten to (nw*K, n), w-major so the
+        # reshape back to (NL, nw, K) below is direct
+        Xm = jnp.transpose(fq.to_mont(Xs), (1, 0))
+        Ym = jnp.transpose(fq.to_mont(Ys), (1, 0))
+        flat = digits_all.reshape(nw * K, n)
+        ws = _window_sums(
+            flat, Xm, Ym, inf, n, nb, add, G, jnp.asarray(brev)
+        )
+        ws = (
+            ws[0].reshape(fq.NL, nw, K),
+            ws[1].reshape(fq.NL, nw, K),
+            ws[2].reshape(fq.NL, nw, K),
+            ws[3].reshape(nw, K),
+        )
+        return _horner_fold(ws, nw, K, window)
+
+    return jax.jit(msm_multi)

@@ -228,16 +228,25 @@ def test_msm_chunked_path_matches_host(monkeypatch):
 
 @pytest.mark.slow
 def test_msm_pallas_flat_path_matches_host(monkeypatch):
-    """The round-4 Pallas MSM path: flat merge tree (no chunk
-    mitigation) with every >= _PALLAS_MIN_ROWS point_add routed through
-    the fused VMEM kernel (interpret mode on CPU).  Small threshold so
-    the tree levels, the weighted-sum combine, and the row<->block
-    padding wrapper all execute hermetically."""
+    """The round-4 Pallas MSM path — the limb-major wide-tree engine
+    (snark/tpu_msm_blocks.py): bit-reversed contiguous-half merge tree
+    with ALL windows sharing each level's kernel dispatch, log-depth
+    weighted sums, every point_add through the fused VMEM kernel
+    (interpret mode on CPU) — against the pure-Python host oracle,
+    including zero scalars, an infinity point, heavy same-digit runs
+    (split segments), an UNEVEN window-group split (40+24), and the
+    K-fold multi entry (msm_jit_blocks_multi)."""
     import falcon_r1cs_tpu.ops.pallas_fq as pfq
+    import falcon_r1cs_tpu.snark.tpu_msm_blocks as tmb
 
     monkeypatch.setattr(pfq, "FORCE_INTERPRET", True)
-    monkeypatch.setattr(tpu_msm, "_PALLAS_MIN_ROWS", 8)
+    # nW=64 at window=4 -> two uneven wide-tree groups exercise the
+    # group-loop boundary
+    monkeypatch.setenv("FALCON_R1CS_TPU_MSM_GROUP", "40")
     tpu_msm._msm_jit.cache_clear()
+    tpu_msm._msm_multi_jit.cache_clear()
+    tmb.msm_jit_blocks.cache_clear()
+    tmb.msm_jit_blocks_multi.cache_clear()
     pfq._build_point_add_cached.cache_clear()
     try:
         n = 32
@@ -250,12 +259,62 @@ def test_msm_pallas_flat_path_matches_host(monkeypatch):
         for i in range(6, 26):
             scalars[i] = 5  # heavy same-digit runs (split segments)
         got = tpu_msm.g1_msm_tpu(arr, scalars, window=4, use_pallas=True)
-        acc = None
-        for p, s in zip(pts, scalars):
-            if p is None or s == 0:
-                continue
-            acc = bls.g1_add(acc, bls.g1_mul(bls.g1_from_affine(p), s))
-        assert got == bls.g1_to_affine(acc)
+
+        def host(sc):
+            acc = None
+            for p, s in zip(pts, sc):
+                if p is None or s == 0:
+                    continue
+                acc = bls.g1_add(acc, bls.g1_mul(bls.g1_from_affine(p), s))
+            return bls.g1_to_affine(acc) if acc is not None else None
+
+        assert got == host(scalars)
     finally:
         tpu_msm._msm_jit.cache_clear()
+        tmb.msm_jit_blocks.cache_clear()
+        pfq._build_point_add_cached.cache_clear()
+
+
+@pytest.mark.slow
+def test_msm_pallas_multi_matches_host(monkeypatch):
+    """K-fold multi through the wide tree (msm_jit_blocks_multi): all
+    K*nw scalar windows ride one limb-major tree and the Horner fold
+    runs K lanes wide.  Tiny shape (n=16, window=4) — the tree core is
+    shared with the single-MSM test above; what's specific here is the
+    (nw, K, n) flatten, the (NL, nw, K) reshape back, and the K-wide
+    fold, all of which a wrong stride would break."""
+    import falcon_r1cs_tpu.ops.pallas_fq as pfq
+    import falcon_r1cs_tpu.snark.tpu_msm_blocks as tmb
+
+    monkeypatch.setattr(pfq, "FORCE_INTERPRET", True)
+    tpu_msm._msm_multi_jit.cache_clear()
+    tmb.msm_jit_blocks_multi.cache_clear()
+    pfq._build_point_add_cached.cache_clear()
+    try:
+        n = 16
+        gen = bls.g1_from_affine(bls.G1_GEN)
+        pts = [bls.g1_to_affine(bls.g1_mul(gen, k + 2)) for k in range(n)]
+        pts[5] = None
+        arr = G1Array.from_affine_list(pts)
+
+        def host(sc):
+            acc = None
+            for p, s in zip(pts, sc):
+                if p is None or s == 0:
+                    continue
+                acc = bls.g1_add(acc, bls.g1_mul(bls.g1_from_affine(p), s))
+            return bls.g1_to_affine(acc) if acc is not None else None
+
+        vectors = [
+            [secrets.randbelow(bls.R) for _ in range(n)],
+            [0] * (n - 2) + [3, bls.R - 1],  # near-empty + boundary scalar
+        ]
+        multi = tpu_msm.g1_msm_tpu_multi(
+            arr, vectors, window=4, use_pallas=True
+        )
+        for k, sc in enumerate(vectors):
+            assert multi[k] == host(sc), f"k={k}"
+    finally:
+        tpu_msm._msm_multi_jit.cache_clear()
+        tmb.msm_jit_blocks_multi.cache_clear()
         pfq._build_point_add_cached.cache_clear()
