@@ -398,14 +398,54 @@ def bench_groth16(n=512, prove_iters=3):
 _GROTH16_CTX: dict = {}
 
 
+_MSM_CTX: dict = {}
+
+
+def start_msm_warm():
+    """Kick the wide-tree Pallas MSM's cold compile off in a SUBPROCESS
+    at bench start (VERDICT r4 #1: BENCH_r04 recorded a TimeoutError
+    because the ~13-25 min cold compile was paid inside the MSM stage's
+    own SIGALRM budget).  A subprocess rather than a thread: tracing the
+    ~40-call-site program holds the GIL for minutes, which would corrupt
+    every host-timed stage.  The subprocess's tpu_msm.warm_compile runs
+    on the remote compile service (zero device time) and lands the
+    executable in the persistent compilation cache, so the stage's own
+    jit call later is a cache hit.  The subprocess is deliberately NOT
+    killed on stage timeout — a finished compile still warms the cache
+    for the next bench run."""
+    import subprocess
+    import sys
+
+    import jax
+
+    if jax.devices()[0].platform.lower() not in ("tpu", "axon"):
+        return None
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "from falcon_r1cs_tpu.snark import tpu_msm;"
+            "tpu_msm.warm_compile(1 << 17)",
+        ],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    _MSM_CTX["warm_proc"] = proc
+    return proc
+
+
 def bench_tpu_msm(iters=2):
     """On-chip Pallas wide-tree G1 MSM (snark/tpu_msm_blocks.py) at the
     falcon-512 h_query shape (n_pad = 2^17) — the Groth16 prover hot
     loop this path exists to scale (reference examples/pok_sig.rs:32).
     Device-profiled MSMs/s (trace "XLA Ops" rows; host wall-clock through
     the tunnel drifts badly), cross-checked bit-exact against the host C
-    backend when available.  TPU-only: the CPU interpret path takes
-    minutes at this shape."""
+    backend when available; the bit-equality verdict is recorded in
+    _MSM_CTX["bitequal"] BEFORE the profiled loop so it lands in the
+    artifact even when the throughput part times out (VERDICT r4 #7).
+    TPU-only: the CPU interpret path takes minutes at this shape."""
     import jax
 
     if jax.devices()[0].platform.lower() not in ("tpu", "axon"):
@@ -416,6 +456,14 @@ def bench_tpu_msm(iters=2):
 
     if not _GROTH16_CTX:
         bench_groth16()
+    # join the background compile: once it exits, the persistent cache
+    # holds the executable and our own jit call below is a cache hit
+    proc = _MSM_CTX.get("warm_proc")
+    if proc is not None:
+        try:
+            proc.wait()  # bounded by this stage's SIGALRM
+        except Exception:
+            pass
     pts = _GROTH16_CTX["pk"].h_query
     n = len(pts)
     rng = np.random.default_rng(11)
@@ -427,7 +475,8 @@ def bench_tpu_msm(iters=2):
     from falcon_r1cs_tpu.snark import native_backend as nb
 
     if nb.available():
-        assert got == nb.g1_msm(pts, scalars), "TPU MSM != host C"
+        _MSM_CTX["bitequal"] = bool(got == nb.g1_msm(pts, scalars))
+        assert _MSM_CTX["bitequal"], "TPU MSM != host C"
 
     import shutil
     import tempfile
@@ -570,6 +619,11 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_SECS", "560"))
     start = time.perf_counter()
 
+    # the MSM compile subprocess starts FIRST: it contends only for one
+    # CPU core (no GIL) and its compile runs on the remote compile
+    # service, so maximal overlap costs the other stages the least
+    start_msm_warm()
+
     n_dev = len(jax.devices())
     wps_wall = bench_witnesses()
     try:
@@ -641,20 +695,37 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
 
+    stage_seconds = {}
     for key, fn, cost in secondary:
         if remaining() < cost:
             continue  # cheaper later entries may still fit
+        t_stage = time.perf_counter()
         try:
             result[key] = round(
                 _alarmed(fn, min(3 * cost, remaining())), 1
             )
         except Exception as e:  # never let a secondary kill the metric
             result[key] = f"error: {type(e).__name__}"
+        stage_seconds[key] = round(time.perf_counter() - t_stage, 1)
     if "batch_speedup" in _GROTH16_CTX:
         # interleaved same-run ratio: host-clock drift cancels
         result["groth16_batch_speedup_vs_singles"] = _GROTH16_CTX[
             "batch_speedup"
         ]
+    # --- artifact self-description (VERDICT r4 #7/#9) ---
+    # MSM bit-equality vs the host C backend: recorded before the
+    # profiled loop, so it survives a throughput-stage timeout
+    if "bitequal" in _MSM_CTX:
+        result["tpu_msm_bitequal_host"] = _MSM_CTX["bitequal"]
+    # the wall-clock pipeline figure measures the dev tunnel (~6 KB of
+    # int16 input planes per item through a ~12 KB/s-per-item-drifting
+    # relay), NOT the framework — the *_device_* field is the compute
+    # rate a local chip would see.  Mark it so the artifact reads
+    # correctly without BASELINE.md context.
+    if platform == "device":
+        result["pipeline_wallclock_tunnel_bound"] = True
+        result["pipeline_upload_bytes_per_item"] = 6 * 1024  # 3 int16 planes @ n=1024
+    result["stage_seconds"] = stage_seconds
     print(json.dumps(result))
 
 

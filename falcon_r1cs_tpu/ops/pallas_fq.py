@@ -409,7 +409,12 @@ def _build_point_add_cached(interpret: bool):
             interpret=interpret,
         )(x1, y1, z1, f1, x2, y2, z2, f2, *_MUL_CONSTS, *_EQ_CONSTS)
 
-    return run
+    # jit: as for _build_mul — the ~2k-op point_add kernel jaxpr is
+    # traced ONCE per block count instead of once per call site.  The
+    # wide-tree MSM (snark/tpu_msm_blocks.py) has ~40 call sites over
+    # ~14 distinct block counts; un-jitted, tracing them dominated the
+    # program's multi-minute cold build (round 5 measurement).
+    return _jax.jit(run)
 
 
 def point_add_pallas(p1, p2, interpret: bool = False):

@@ -186,15 +186,30 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
 
     Mirrors `create_random_proof` (pok_sig.rs:37).  r/s override the
     blinding randomness for deterministic tests.  g1_backend selects who
-    runs the G1 MSMs: "auto" (the native C Pippenger when built, else
-    pure Python) or "tpu" (snark/tpu_msm.py — the device scale-out path;
-    G2 MSMs and the witness map still follow use_native).
+    runs the G1 MSMs: "auto" resolves through the measured policy in
+    backend_policy.choose_g1_backend (host C at every measured shape on
+    this host; TPU when the native library is absent but Mosaic passes;
+    env-overridable), or pass "native"/"tpu"/"python" explicitly
+    ("tpu" = snark/tpu_msm.py, the device scale-out path; G2 MSMs and
+    the witness map still follow use_native).
     """
     if r is None:
         r = secrets.randbelow(R)
     if s is None:
         s = secrets.randbelow(R)
     native = _native() if use_native else None
+    if g1_backend == "auto":
+        from .backend_policy import choose_g1_backend
+
+        pallas_ok = False
+        if native is None:
+            # the probe can only change the outcome when C is absent
+            from ..ops.pallas_support import resolve_backend
+
+            pallas_ok = resolve_backend(None)
+        g1_backend = choose_g1_backend(
+            native_available=native is not None, pallas_ok=pallas_ok, K=1
+        )
 
     # assignment may be a (N, 4) u64 canonical limb matrix (e.g. derived
     # from the device packer via points.packed_to_limb_rows): the native
@@ -202,7 +217,7 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
     import numpy as _np
 
     z_is_limbs = isinstance(assignment, _np.ndarray) and assignment.ndim == 2
-    if z_is_limbs and native is None:
+    if z_is_limbs and (native is None or g1_backend == "python"):
         from .points import limbs_to_int
 
         assignment = [limbs_to_int(row) for row in assignment]
@@ -220,7 +235,7 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
         g1msm, g2msm = native.g1_msm, native.g2_msm
     else:
         g1msm = g2msm = None
-    if g1msm is None:
+    if g1msm is None or g1_backend == "python":
         def g1msm(points, scalars):
             pts, sc = _strip(points.to_affine_list(), scalars)
             return g1_to_affine(msm.g1_msm([g1_from_affine(p) for p in pts], sc))
@@ -233,7 +248,7 @@ def prove(pk: ProvingKey, compiled, assignment, r: int | None = None,
 
         g1msm = tpu_msm.g1_msm_tpu
 
-    if native is not None and g1_backend != "tpu":
+    if native is not None and g1_backend not in ("tpu", "python"):
         # one scalar->limb conversion shared by the A/B1/B2/L MSMs (the
         # native wrappers fast-path (n,4) u64 arrays; h is already limbs)
         from .points import ints_to_limbs

@@ -546,11 +546,71 @@ _MULTI_LANE_BUDGET = 1 << 17
 # shape ~ 52 s device time on the chunked-XLA path, measured safe; 8
 # equivalents crashed twice.
 _MAX_DISPATCH_LANES = 1 << 19
-# the wide-tree Pallas engine runs ~0.6 s/MSM at 2^17 (20x the XLA
+# the wide-tree Pallas engine runs ~1 s/MSM at 2^17 (~12x the XLA
 # path), so its watchdog-safe dispatch is much larger; 2^21 ~ 16
-# MSM-equivalents ~ 10 s device time, and the compiled program grows
+# MSM-equivalents ~ 17 s device time, and the compiled program grows
 # with K (the window-group loop unrolls), so keep it moderate
 _MAX_DISPATCH_LANES_PALLAS = 1 << 21
+
+# --- dispatch watchdog: probe-and-clamp (round 5, VERDICT r4 #8) ------
+#
+# A single jit dispatch whose DEVICE time reaches ~103 s reproducibly
+# crashes this tunneled worker, while ~52 s is safe (ENGINEERING.md
+# "The ~100 s dispatch watchdog").  The two _MAX_DISPATCH_LANES
+# constants above encode that envelope as measured on THIS tunnel; on
+# different hardware the safe envelope may differ silently.  The cap is
+# therefore derived, whenever a real dispatch has been timed, from a
+# measured lanes-per-second rate times a configured device-seconds
+# budget — the empirical constants remain as priors, and the derived
+# cap is clamped to [prior/4, prior*4] so one mismeasured probe can
+# never produce a crash-capable dispatch.  Env overrides:
+#   FALCON_R1CS_TPU_MAX_DISPATCH_LANES   hard cap, skips the probe
+#   FALCON_R1CS_TPU_DISPATCH_BUDGET_S    device-seconds budget (50)
+import os as _os
+
+_DISPATCH_BUDGET_S = 50.0
+# measured lanes/second per engine, recorded by g1_msm_tpu's timed
+# dispatches (wall clock; the ~0.3 s tunnel round trip is <1% of any
+# dispatch long enough to matter, and short dispatches are ignored)
+_MEASURED_LANE_RATE: dict = {}
+
+
+# (n_pad, window, pallas) triples that have dispatched at least once in
+# this process — their next dispatch is warm (no compile in the timing)
+_DISPATCHED: set = set()
+
+
+def record_dispatch_rate(lanes: int, seconds: float, pallas: bool):
+    """Feed one timed dispatch into the watchdog cap derivation.  Only
+    dispatches long enough to dominate the tunnel round trip count; the
+    slowest observed rate wins (conservative under drift)."""
+    if seconds < 2.0:
+        return
+    rate = lanes / seconds
+    prev = _MEASURED_LANE_RATE.get(pallas)
+    _MEASURED_LANE_RATE[pallas] = rate if prev is None else min(prev, rate)
+
+
+def max_dispatch_lanes(pallas: bool) -> int:
+    """K*n_pad lanes allowed per jit dispatch: measured-rate x budget
+    when a probe has run, the engine's empirical prior otherwise,
+    always a power of two (the K-chunking arithmetic relies on it).
+    Tested hermetically in tests/test_tpu_msm.py."""
+    env = _os.environ.get("FALCON_R1CS_TPU_MAX_DISPATCH_LANES")
+    if env:
+        v = int(env)
+        return 1 << max(1, v.bit_length() - 1)
+    prior = _MAX_DISPATCH_LANES_PALLAS if pallas else _MAX_DISPATCH_LANES
+    rate = _MEASURED_LANE_RATE.get(pallas)
+    if rate is None:
+        return prior
+    budget = float(
+        _os.environ.get("FALCON_R1CS_TPU_DISPATCH_BUDGET_S",
+                        str(_DISPATCH_BUDGET_S))
+    )
+    cap = int(rate * budget)
+    cap = 1 << max(1, cap.bit_length() - 1)  # floor to a power of two
+    return max(prior // 4, min(prior * 4, cap))
 
 
 @functools.lru_cache(maxsize=None)
@@ -657,10 +717,11 @@ def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None,
     # DISPATCH-TIME cap (round 4): one jit call's device time must stay
     # under the tunnel/runtime watchdog — K=8 x n_pad=2^17 (~103 s on a
     # v5e) reproducibly CRASHES the TPU worker ("kernel fault"), while
-    # K=4 (~52 s) is fine.  Chunk the K axis across dispatches so each
-    # stays ~<= 2^19 lane-dispatches (~52 s at 2^17); the re-paid
-    # point upload/to_mont per dispatch is noise next to the adds.
-    lanes = _MAX_DISPATCH_LANES_PALLAS if use_pallas else _MAX_DISPATCH_LANES
+    # K=4 (~52 s) is fine.  Chunk the K axis across dispatches; the cap
+    # derives from a measured per-lane rate when available (probe-and-
+    # clamp, round 5) and the re-paid point upload/to_mont per dispatch
+    # is noise next to the adds.
+    lanes = max_dispatch_lanes(use_pallas)
     kd = max(1, lanes // n_pad)
     if K > kd:
         out = []
@@ -782,15 +843,59 @@ def g1_msm_tpu(points, scalars, window: int | None = None,
         )
 
     Xs, Ys, inf = _points_std_limbs(points, n_pad)
+    import time as _time
+
+    key = (n_pad, window, use_pallas)
+    warm = key in _DISPATCHED
+    t0 = _time.perf_counter()
     ox, oy, oz, oinf = (
         np.asarray(t)
         for t in _msm_jit(n_pad, window, use_pallas)(
             jnp.asarray(digits), Xs, Ys, inf
         )
     )
+    # feed the watchdog probe (np.asarray synchronized the dispatch);
+    # only warm calls count — a first call's wall time is compile-bound
+    if warm:
+        record_dispatch_rate(n_pad, _time.perf_counter() - t0, use_pallas)
+    _DISPATCHED.add(key)
     if bool(oinf):
         return None
     return _jac_mont_to_affine(ox, oy, oz)
+
+
+def warm_compile(n_pad: int, window: int | None = None,
+                 use_pallas: bool | None = None):
+    """Trace + lower + COMPILE the single-MSM program for (n_pad,
+    window) without executing anything on the device.
+
+    The wide-tree Pallas program's cold compile is long (minutes; the
+    Mosaic kernel builds once per distinct block count) and runs on the
+    compile service — compiling here costs zero device time, so a
+    background thread/subprocess can overlap it with host work
+    (bench.py start_msm_warm).  The compile also lands in the
+    persistent compilation cache (JAX_COMPILATION_CACHE_DIR), making
+    the next same-program jit call — even from another process — a
+    cache hit.  Returns the compiled executable (callers normally
+    discard it and let the ordinary g1_msm_tpu path hit the cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    if window is None:
+        window = WINDOW
+    if use_pallas is None:
+        from ..ops.pallas_support import resolve_backend
+
+        use_pallas = resolve_backend(None)
+    nw = (255 + window - 1) // window
+    f = _msm_jit(n_pad, window, use_pallas)
+    args = (
+        jax.ShapeDtypeStruct((nw, n_pad), jnp.int32),
+        jax.ShapeDtypeStruct((n_pad, fq.NL), jnp.int32),
+        jax.ShapeDtypeStruct((n_pad, fq.NL), jnp.int32),
+        jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
+    )
+    return f.lower(*args).compile()
 
 
 def _points_std_limbs(points, n_pad: int):

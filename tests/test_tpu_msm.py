@@ -318,3 +318,65 @@ def test_msm_pallas_multi_matches_host(monkeypatch):
         tpu_msm._msm_multi_jit.cache_clear()
         tmb.msm_jit_blocks_multi.cache_clear()
         pfq._build_point_add_cached.cache_clear()
+
+
+def test_dispatch_cap_probe_and_clamp(monkeypatch):
+    """The watchdog cap (ENGINEERING.md '~100 s dispatch watchdog')
+    derives from measured rate x budget with the empirical constants as
+    clamped priors, and the env override wins outright (round 5,
+    VERDICT r4 #8)."""
+    monkeypatch.delenv("FALCON_R1CS_TPU_MAX_DISPATCH_LANES", raising=False)
+    monkeypatch.delenv("FALCON_R1CS_TPU_DISPATCH_BUDGET_S", raising=False)
+    monkeypatch.setattr(tpu_msm, "_MEASURED_LANE_RATE", {})
+
+    # no probe yet: the empirical priors
+    assert tpu_msm.max_dispatch_lanes(False) == tpu_msm._MAX_DISPATCH_LANES
+    assert (
+        tpu_msm.max_dispatch_lanes(True)
+        == tpu_msm._MAX_DISPATCH_LANES_PALLAS
+    )
+
+    # a measured rate scales the cap: 2^17 lanes in 10 s at 50 s budget
+    # -> 655k lanes -> floored to 2^19
+    tpu_msm.record_dispatch_rate(1 << 17, 10.0, True)
+    assert tpu_msm.max_dispatch_lanes(True) == 1 << 19
+
+    # sub-2 s timings are tunnel noise and must be ignored
+    tpu_msm.record_dispatch_rate(1 << 20, 0.1, False)
+    assert tpu_msm.max_dispatch_lanes(False) == tpu_msm._MAX_DISPATCH_LANES
+
+    # the slowest observed rate wins (conservative under drift)
+    tpu_msm.record_dispatch_rate(1 << 17, 40.0, True)
+    assert tpu_msm.max_dispatch_lanes(True) == max(
+        tpu_msm._MAX_DISPATCH_LANES_PALLAS // 4,
+        1 << (int((1 << 17) / 40.0 * 50.0).bit_length() - 1),
+    )
+
+    # a wildly optimistic probe clamps at prior*4, a pessimistic one at
+    # prior/4 — neither can produce a crash-capable dispatch
+    monkeypatch.setattr(tpu_msm, "_MEASURED_LANE_RATE", {True: 1e12})
+    assert (
+        tpu_msm.max_dispatch_lanes(True)
+        == tpu_msm._MAX_DISPATCH_LANES_PALLAS * 4
+    )
+    monkeypatch.setattr(tpu_msm, "_MEASURED_LANE_RATE", {True: 1.0})
+    assert (
+        tpu_msm.max_dispatch_lanes(True)
+        == tpu_msm._MAX_DISPATCH_LANES_PALLAS // 4
+    )
+
+    # env override: exact power-of-two floor of the requested value
+    monkeypatch.setenv("FALCON_R1CS_TPU_MAX_DISPATCH_LANES", "300000")
+    assert tpu_msm.max_dispatch_lanes(True) == 1 << 18
+
+    # the budget env scales the derived cap (2^17/10 lanes/s x 25 s ->
+    # 327k, floored to 2^18 — but the prior/4 clamp floor at 2^19 binds)
+    monkeypatch.delenv("FALCON_R1CS_TPU_MAX_DISPATCH_LANES")
+    monkeypatch.setenv("FALCON_R1CS_TPU_DISPATCH_BUDGET_S", "25")
+    monkeypatch.setattr(
+        tpu_msm, "_MEASURED_LANE_RATE", {True: (1 << 17) / 10.0}
+    )
+    assert (
+        tpu_msm.max_dispatch_lanes(True)
+        == tpu_msm._MAX_DISPATCH_LANES_PALLAS // 4
+    )
