@@ -255,15 +255,27 @@ def _brev(n: int) -> np.ndarray:
 def _group_windows(n: int, nw: int) -> int:
     """Windows per wide-tree group: bounded so one group's live tree
     tensors (~4 x 3 coords x NL x W x n int32 at the top level) stay
-    within HBM headroom; override with FALCON_R1CS_TPU_MSM_GROUP."""
+    within HBM headroom; FALCON_R1CS_TPU_MSM_GROUP overrides the cap.
+
+    Returns the largest DIVISOR of nw within the cap: groups are
+    equal-width so `_window_sums` can serialize them with lax.map —
+    round-5 finding: a Python-level group loop does NOT bound HBM,
+    because XLA overlaps independent groups' gather/tree temps (K=8 x
+    2^17 OOMed with five 560 MB gather copies live at once), while
+    lax.map keeps exactly one group's temps alive AND traces the
+    (kernel-heavy) group body once regardless of K."""
     env = os.environ.get("FALCON_R1CS_TPU_MSM_GROUP")
     if env:
-        return max(1, min(nw, int(env)))
-    # ~18.4 MB per coord tensor per window at n=2^17; budget ~6 GB of
-    # live top-level tree state on a 16 GB part
-    per_w = 4 * 3 * fq.NL * n * 4
-    g = max(1, int(6e9 // per_w))
-    return min(nw, g)
+        cap = max(1, min(nw, int(env)))
+    else:
+        # ~18.4 MB per coord tensor per window at n=2^17; budget ~6 GB
+        # of live top-level tree state on a 16 GB part
+        per_w = 4 * 3 * fq.NL * n * 4
+        cap = max(1, min(nw, int(6e9 // per_w)))
+    for g in range(cap, 0, -1):
+        if nw % g == 0:
+            return g
+    return 1
 
 
 def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
@@ -273,41 +285,46 @@ def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
     digits_flat (nW, n) int32 — any stack of scalar windows over ONE
     point set (a single MSM's nw windows, or K MSMs' nw*K); returns
     coords (NL, nW, 1) + inf (nW, 1).  Windows are processed G at a
-    time purely to bound live HBM."""
+    time (G | nW) under lax.map, which both bounds live HBM to ONE
+    group's temps (XLA overlaps the temps of independent unrolled
+    groups — the K=8 OOM) and traces the kernel-heavy group body once
+    however many groups there are."""
+    import jax
     import jax.numpy as jnp
 
     nW = digits_flat.shape[0]
+    assert nW % G == 0, (nW, G)
     # one batched sort + bit-reversed placement for ALL windows
     order = jnp.argsort(digits_flat, axis=1)  # (nW, n)
     idx_all = order[:, brev_d]
     d_all = jnp.take_along_axis(digits_flat, idx_all, axis=1)
 
-    wx, wy, wz, wi = [], [], [], []
-    for g0 in range(0, nW, G):
-        g1 = min(nW, g0 + G)
-        W = g1 - g0
-        idx = idx_all[g0:g1]  # (W, n)
-        d = d_all[g0:g1]
+    def group(args):
+        idx, d = args  # (G, n)
         pt = (
-            Xm[:, idx],  # (NL, W, n)
+            Xm[:, idx],  # (NL, G, n)
             Ym[:, idx],
             jnp.broadcast_to(
-                jnp.asarray(tm._Z_ONE)[:, None, None], (fq.NL, W, n)
+                jnp.asarray(tm._Z_ONE)[:, None, None], (fq.NL, G, n)
             ),
             inf[idx] | (d == 0),
         )
         bufs = _bucket_reduce_flat(pt, d, nb, add)
-        sx, sy, sz, si = _weighted_bucket_sum_flat(bufs, W, nb, add)
-        wx.append(sx)
-        wy.append(sy)
-        wz.append(sz)
-        wi.append(si)
+        return _weighted_bucket_sum_flat(bufs, G, nb, add)
 
+    ng = nW // G
+    if ng == 1:
+        return group((idx_all, d_all))
+    gx, gy, gz, gi = jax.lax.map(
+        group, (idx_all.reshape(ng, G, n), d_all.reshape(ng, G, n))
+    )
+    # stacked (ng, NL, G, 1) / (ng, G, 1) -> (NL, nW, 1) / (nW, 1);
+    # group-major order g*G + w matches the pre-map concatenation
     return (
-        jnp.concatenate(wx, axis=1),  # (NL, nW, 1)
-        jnp.concatenate(wy, axis=1),
-        jnp.concatenate(wz, axis=1),
-        jnp.concatenate(wi, axis=0),  # (nW, 1)
+        jnp.moveaxis(gx, 0, 1).reshape(fq.NL, nW, 1),
+        jnp.moveaxis(gy, 0, 1).reshape(fq.NL, nW, 1),
+        jnp.moveaxis(gz, 0, 1).reshape(fq.NL, nW, 1),
+        gi.reshape(nW, 1),
     )
 
 

@@ -234,14 +234,15 @@ def test_msm_pallas_flat_path_matches_host(monkeypatch):
     weighted sums, every point_add through the fused VMEM kernel
     (interpret mode on CPU) — against the pure-Python host oracle,
     including zero scalars, an infinity point, heavy same-digit runs
-    (split segments), an UNEVEN window-group split (40+24), and the
-    K-fold multi entry (msm_jit_blocks_multi)."""
+    (split segments), a MULTI-GROUP window split (env cap 40 over
+    nW=64 resolves to two lax.map groups of 32), and the K-fold multi
+    entry (msm_jit_blocks_multi)."""
     import falcon_r1cs_tpu.ops.pallas_fq as pfq
     import falcon_r1cs_tpu.snark.tpu_msm_blocks as tmb
 
     monkeypatch.setattr(pfq, "FORCE_INTERPRET", True)
-    # nW=64 at window=4 -> two uneven wide-tree groups exercise the
-    # group-loop boundary
+    # nW=64 at window=4, cap 40 -> G=32: two lax.map wide-tree groups
+    # exercise the serialized group loop and the stacked-output reshape
     monkeypatch.setenv("FALCON_R1CS_TPU_MSM_GROUP", "40")
     tpu_msm._msm_jit.cache_clear()
     tpu_msm._msm_multi_jit.cache_clear()
@@ -380,3 +381,25 @@ def test_dispatch_cap_probe_and_clamp(monkeypatch):
         tpu_msm.max_dispatch_lanes(True)
         == tpu_msm._MAX_DISPATCH_LANES_PALLAS // 4
     )
+
+
+def test_group_windows_divisor(monkeypatch):
+    """_group_windows returns a DIVISOR of the window count within the
+    HBM cap (round 5: equal-width groups are what lets lax.map
+    serialize them — the unrolled Python loop OOMed at K=8 because XLA
+    overlapped independent groups' temps)."""
+    import falcon_r1cs_tpu.snark.tpu_msm_blocks as tmb
+
+    monkeypatch.delenv("FALCON_R1CS_TPU_MSM_GROUP", raising=False)
+    # h_query shape: cap ~43 at n=2^17 -> 22 divides both 22 and 22*K
+    assert tmb._group_windows(1 << 17, 22) == 22
+    for K in (2, 4, 8):
+        g = tmb._group_windows(1 << 17, 22 * K)
+        assert (22 * K) % g == 0 and g <= 43
+    # small n: cap exceeds nw -> one group
+    assert tmb._group_windows(1 << 10, 64) == 64
+    # env cap rounds DOWN to a divisor
+    monkeypatch.setenv("FALCON_R1CS_TPU_MSM_GROUP", "40")
+    assert tmb._group_windows(1 << 10, 64) == 32
+    monkeypatch.setenv("FALCON_R1CS_TPU_MSM_GROUP", "1")
+    assert tmb._group_windows(1 << 10, 64) == 1

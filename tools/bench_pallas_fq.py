@@ -13,6 +13,11 @@ the first batch.  Run: python tools/bench_pallas_fq.py [rows_log2]
 (PYTHONPATH unset — it breaks axon TPU discovery.)
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 from pathlib import Path

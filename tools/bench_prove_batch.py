@@ -7,6 +7,11 @@ prove_batch(K) against K sequential prove() calls.
 Run: PYTHONPATH=/root/repo python tools/bench_prove_batch.py [K] [iters]
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 

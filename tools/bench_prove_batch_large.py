@@ -10,6 +10,11 @@ Run: python tools/bench_prove_batch_large.py [dual|schoolbook] [K]
 (forces CPU jax for witness generation; prove path is host C.)
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 from pathlib import Path

@@ -7,6 +7,11 @@ against the host C backend's number for the same shape.
 Run: python tools/bench_tpu_msm_multi.py [K] [iters]   (PYTHONPATH unset)
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 from pathlib import Path

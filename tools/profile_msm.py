@@ -15,6 +15,9 @@ import glob
 import gzip
 import json
 import os
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import tempfile
 from pathlib import Path

@@ -5,6 +5,11 @@ Prints the witness-map / per-MSM / assembly split that motivates the
 batched msm_multi design (VERDICT round-2 Next #1).
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 

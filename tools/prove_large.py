@@ -12,6 +12,11 @@ Run: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo:$PYTHONPATH \
 path is host C.)
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 

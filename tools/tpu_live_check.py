@@ -11,6 +11,11 @@ Checks, on the real device:
     python tools/tpu_live_check.py
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 from pathlib import Path
 

@@ -14,6 +14,11 @@ The measured numbers feed the tradeoff note in snark/tpu_msm.py's
 docstring and ENGINEERING.md.
 """
 
+import os
+
+# persistent XLA compile cache: multi-minute wide-tree MSM compiles
+# survive across tool/bench processes (bench.py uses the same dir)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 from pathlib import Path
