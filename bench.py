@@ -112,13 +112,31 @@ def device_time_us_from_trace(trace_dir: str):
                 tid_names[(e["pid"], e.get("tid"))] = e["args"].get(
                     "name", ""
                 )
-    return sum(
-        e["dur"]
+    # UNION of event intervals, not a duration sum: control-flow ops
+    # (lax.map/scan `while`s) are emitted as one event spanning the
+    # whole loop AND their inner ops are emitted individually, so a
+    # naive sum double-counts loop bodies (round 5: the K-fold MSM
+    # "device" time came out ABOVE its wall time).  The union is the
+    # thread's actual busy time whatever the nesting.
+    spans = sorted(
+        (e["ts"], e["ts"] + e["dur"])
         for e in data["traceEvents"]
         if e.get("ph") == "X" and "dur" in e
         and "TPU" in pid_names.get(e.get("pid"), "")
         and tid_names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"
     )
+    busy = 0.0
+    cur_s = cur_e = None
+    for s, t in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s, t
+        else:
+            cur_e = max(cur_e, t)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    return busy
 
 
 def bench_dual(batch=512, n=1024):

@@ -33,17 +33,19 @@ shape) the POST-MITIGATION end-to-end MSM runs at ~12.9 s/MSM ~ 3.6 M
 modmul/s wall (K = 2..4 identical per-MSM; the pre-mitigation 7.9 M
 figure measured the bare Montgomery core before the chunked-shape fix
 paid its ~2x adds) vs 190-230 ms/MSM for the 4-core IFMA C backend —
-the default prover therefore keeps the C backend, and this module is
-the correctness-validated scale-out path (differentially tested:
+the default prover therefore keeps the C backend (the measured policy
+in snark/backend_policy.py), and this module is the
+correctness-validated scale-out path (differentially tested:
 tests/test_tpu_msm.py).  A single dispatch is also WATCHDOG-bounded:
-K x n_pad lane-dispatches are capped at 2^19 per jit call because
-~103 s device programs reproducibly crash the tunneled worker
-(g1_msm_tpu_multi chunks K across dispatches).  The VMEM-resident
-Pallas point kernels (ops/pallas_fq.py) are the round-4 path past the
-HBM-bound XLA formulation: `use_pallas=True` (the default when the
-Mosaic capability probe passes) runs the limb-major v2 engine
-(snark/tpu_msm_blocks.py) at **1.06 s/MSM** for the same shape — ~12x
-the XLA path, ~6x from the host C (ENGINEERING.md "The Pallas MSM
+K x n_pad lane-dispatches are capped per jit call because ~103 s
+device programs reproducibly crash the tunneled worker
+(g1_msm_tpu_multi chunks K across dispatches; probe-and-clamp below).
+The VMEM-resident Pallas point kernels (ops/pallas_fq.py) are the
+round-4/5 path past the HBM-bound XLA formulation: `use_pallas=True`
+(the default when the Mosaic capability probe passes) runs the
+limb-major wide-tree engine (snark/tpu_msm_blocks.py) at
+**0.417 s/MSM device-profiled** for the same shape — ~31x the XLA
+path, within ~2.2x of the host C (ENGINEERING.md "The Pallas MSM
 optimization ladder").
 """
 
@@ -483,13 +485,11 @@ def _msm_jit(n: int, window: int = WINDOW, pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
-    if pallas:
-        # round-4 v2: the limb-major transpose-free engine (bit-reversed
-        # contiguous-half merge tree; see snark/tpu_msm_blocks.py)
-        from . import tpu_msm_blocks as tmb
-
-        return tmb.msm_jit_blocks(n, window)
-
+    assert not pallas, (
+        "the wide-tree Pallas engine is dispatched by g1_msm_tpu via "
+        "tpu_msm_blocks.g1_msm_blocks (round 5: premont cache + host "
+        "fold changed its calling convention)"
+    )
     nb = 1 << window
     nw = (255 + window - 1) // window
     # Mosaic is unaffected by the 8192-row XLA miscompile, so the pallas
@@ -546,10 +546,10 @@ _MULTI_LANE_BUDGET = 1 << 17
 # shape ~ 52 s device time on the chunked-XLA path, measured safe; 8
 # equivalents crashed twice.
 _MAX_DISPATCH_LANES = 1 << 19
-# the wide-tree Pallas engine runs ~1 s/MSM at 2^17 (~12x the XLA
-# path), so its watchdog-safe dispatch is much larger; 2^21 ~ 16
-# MSM-equivalents ~ 17 s device time, and the compiled program grows
-# with K (the window-group loop unrolls), so keep it moderate
+# the wide-tree Pallas engine runs well under 1 s/MSM at 2^17 (~20x
+# the XLA path), so its watchdog-safe dispatch is much larger; 2^21 ~
+# 16 MSM-equivalents ~ 10-16 s device time (round 5: the lax.map group
+# loop keeps the compiled program size K-independent)
 _MAX_DISPATCH_LANES_PALLAS = 1 << 21
 
 # --- dispatch watchdog: probe-and-clamp (round 5, VERDICT r4 #8) ------
@@ -630,14 +630,10 @@ def _msm_multi_jit(n: int, K: int, kc: int, window: int = WINDOW,
     import jax
     import jax.numpy as jnp
 
-    if pallas:
-        # round-4 v3: all K*nw scalar windows ride one wide limb-major
-        # tree (snark/tpu_msm_blocks.py); kc is moot — HBM is bounded by
-        # the engine's own window-group loop, not a K-chunked vmap
-        from . import tpu_msm_blocks as tmb
-
-        return tmb.msm_jit_blocks_multi(n, K, window)
-
+    assert not pallas, (
+        "the wide-tree Pallas engine is dispatched by g1_msm_tpu_multi "
+        "via tpu_msm_blocks.g1_msm_blocks_multi (round 5)"
+    )
     assert K % kc == 0, (K, kc)
     nb = 1 << window
     nw = (255 + window - 1) // window
@@ -731,8 +727,12 @@ def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None,
             got = g1_msm_tpu_multi(points, chunk, window, use_pallas)
             out.extend(got[: min(kd, K - off)])
         return out
+    if use_pallas and points.inf.any():
+        # wide-tree leaf infinity = digit 0 (see g1_msm_tpu)
+        mask = points.inf.astype(bool)
+        rows = [np.where(mask[:, None], np.uint64(0), r) for r in rows]
     kc = max(1, min(K, _MULTI_LANE_BUDGET // n_pad))
-    K_run = ((K + kc - 1) // kc) * kc  # pad K to a multiple of kc
+    K_run = K if use_pallas else ((K + kc - 1) // kc) * kc
     digits = np.stack(
         [_window_digits(r, window) for r in rows]
         + [np.zeros_like(_window_digits(rows[0], window))]
@@ -744,6 +744,10 @@ def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None,
             [digits, np.zeros(digits.shape[:2] + (n_pad - n,), np.int32)],
             axis=2,
         )
+    if use_pallas:
+        from . import tpu_msm_blocks as tmb
+
+        return tmb.g1_msm_blocks_multi(points, digits, n_pad, K, window)
     Xs, Ys, inf = _points_std_limbs(points, n_pad)
     ox, oy, oz, oinf = (
         np.asarray(t)
@@ -836,18 +840,33 @@ def g1_msm_tpu(points, scalars, window: int | None = None,
         sc = np.ascontiguousarray(scalars)
     else:
         sc = ints_to_limbs([int(s) % FR_R for s in scalars], 4)
+    if use_pallas and points.inf.any():
+        # the wide-tree engine flags leaf infinities by digit == 0 alone
+        # (an on-device inf gather cost 23 ms/MSM); zero their scalars
+        sc = sc.copy()
+        sc[points.inf.astype(bool)] = 0
     digits = _window_digits(sc, window)
     if n_pad > n:
         digits = np.concatenate(
             [digits, np.zeros((digits.shape[0], n_pad - n), np.int32)], axis=1
         )
-
-    Xs, Ys, inf = _points_std_limbs(points, n_pad)
     import time as _time
 
     key = (n_pad, window, use_pallas)
     warm = key in _DISPATCHED
     t0 = _time.perf_counter()
+    if use_pallas:
+        from . import tpu_msm_blocks as tmb
+
+        out = tmb.g1_msm_blocks(points, digits, n_pad, window)
+        if warm:
+            record_dispatch_rate(
+                n_pad, _time.perf_counter() - t0, use_pallas
+            )
+        _DISPATCHED.add(key)
+        return out
+
+    Xs, Ys, inf = _points_std_limbs(points, n_pad)
     ox, oy, oz, oinf = (
         np.asarray(t)
         for t in _msm_jit(n_pad, window, use_pallas)(
@@ -888,6 +907,16 @@ def warm_compile(n_pad: int, window: int | None = None,
 
         use_pallas = resolve_backend(None)
     nw = (255 + window - 1) // window
+    if use_pallas:
+        from . import tpu_msm_blocks as tmb
+
+        f = tmb.msm_window_sums_jit(n_pad, nw, window)
+        args = (
+            jax.ShapeDtypeStruct((nw, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((fq.NL, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((fq.NL, n_pad), jnp.int32),
+        )
+        return f.lower(*args).compile()
     f = _msm_jit(n_pad, window, use_pallas)
     args = (
         jax.ShapeDtypeStruct((nw, n_pad), jnp.int32),

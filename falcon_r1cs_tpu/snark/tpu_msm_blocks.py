@@ -32,9 +32,18 @@ group share every level's kernel dispatch.
 
 Everything else mirrors snark/tpu_msm.py: same H/T/kf/kl segment
 bookkeeping, same single-scatter-per-bucket emission argument, same
-log-depth weighted suffix sum, same Horner window fold.  Outputs are
-differentially tested against the host backend and the row-layout path
-(tests/test_tpu_msm.py).
+log-depth weighted suffix sum.  Outputs are differentially tested
+against the host backend and the row-layout path (tests/test_tpu_msm.py).
+
+v4 (round 5, profile-driven — tools/profile_msm.py): the device program
+is now ONLY the window sums.  Groups are serialized with lax.map (the
+unrolled group loop OOMed at K=8: XLA overlaps independent groups'
+560 MB gather temps), the digit sort is variadic (killing a 29 ms
+element gather), leaf infinities ride digit==0 with host-zeroed scalars
+(killing a 23 ms boolean gather), Montgomery conversion is a cached
+prover-preprocessing step (`_points_mont`, killing ~22 ms of per-call
+reshape copies), and the Horner window fold runs on the host in exact
+bigints (killing 64 ms of serial (1, 35) point ops — 11% of the MSM).
 """
 
 from __future__ import annotations
@@ -278,7 +287,7 @@ def _group_windows(n: int, nw: int) -> int:
     return 1
 
 
-def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
+def _window_sums(digits_flat, Xm, Ym, n: int, nb: int, add, G: int,
                  brev_d):
     """Shared wide-tree core: per-window bucket-weighted sums.
 
@@ -288,16 +297,31 @@ def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
     time (G | nW) under lax.map, which both bounds live HBM to ONE
     group's temps (XLA overlaps the temps of independent unrolled
     groups — the K=8 OOM) and traces the kernel-heavy group body once
-    however many groups there are."""
+    however many groups there are.
+
+    Round-5 profile-driven glue cuts (tools/profile_msm.py on-chip):
+    - VARIADIC sort: lax.sort carries the position payload with the
+      digit keys, so the sorted digits come out of the sort directly —
+      the separate take_along_axis digit gather cost 29.4 ms/MSM
+      (element gathers run ~10 ns/element vs ~0.05 ns/element for the
+      140-byte-row coordinate gathers).
+    - Leaf infinity = (d == 0) alone: callers zero the scalars of
+      infinity points on the host (g1_msm_tpu), killing a 23.2 ms
+      boolean element gather.  Padding already has zero scalars."""
     import jax
     import jax.numpy as jnp
 
     nW = digits_flat.shape[0]
     assert nW % G == 0, (nW, G)
-    # one batched sort + bit-reversed placement for ALL windows
-    order = jnp.argsort(digits_flat, axis=1)  # (nW, n)
+    # one batched variadic sort + bit-reversed placement for ALL windows
+    iota = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None], (nW, n)
+    )
+    d_sorted, order = jax.lax.sort(
+        (digits_flat, iota), dimension=1, is_stable=True, num_keys=1
+    )
     idx_all = order[:, brev_d]
-    d_all = jnp.take_along_axis(digits_flat, idx_all, axis=1)
+    d_all = d_sorted[:, brev_d]
 
     def group(args):
         idx, d = args  # (G, n)
@@ -307,7 +331,7 @@ def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
             jnp.broadcast_to(
                 jnp.asarray(tm._Z_ONE)[:, None, None], (fq.NL, G, n)
             ),
-            inf[idx] | (d == 0),
+            d == 0,
         )
         bufs = _bucket_reduce_flat(pt, d, nb, add)
         return _weighted_bucket_sum_flat(bufs, G, nb, add)
@@ -328,94 +352,128 @@ def _window_sums(digits_flat, Xm, Ym, inf, n: int, nb: int, add, G: int,
     )
 
 
-def _horner_fold(ws, nw: int, K: int, window: int):
-    """Fold per-window sums (coords (NL, nw, K)) into K row-layout
-    points ((K, NL) coords + (K,) inf), high window first:
-    total = total * 2^window + w_sum.  The doubles/adds run on all K
-    lanes at once (XLA row-layout point ops)."""
-    import jax
-    import jax.numpy as jnp
-
-    total = (
-        jnp.transpose(ws[0][:, nw - 1], (1, 0)),  # (K, NL)
-        jnp.transpose(ws[1][:, nw - 1], (1, 0)),
-        jnp.transpose(ws[2][:, nw - 1], (1, 0)),
-        ws[3][nw - 1],
-    )
-    rest = (
-        jnp.transpose(ws[0][:, nw - 2 :: -1], (1, 2, 0)),  # (nw-1, K, NL)
-        jnp.transpose(ws[1][:, nw - 2 :: -1], (1, 2, 0)),
-        jnp.transpose(ws[2][:, nw - 2 :: -1], (1, 2, 0)),
-        ws[3][nw - 2 :: -1],
-    )
-
-    def fold(tot, nxt):
-        tot = jax.lax.fori_loop(
-            0, window, lambda _, p: tm.point_double(p), tot
-        )
-        return tm.point_add(tot, nxt), None
-
-    total, _ = jax.lax.scan(fold, total, rest)
-    return total
-
-
 @functools.lru_cache(maxsize=None)
-def msm_jit_blocks(n: int, window: int):
-    """jit-compiled limb-major wide-tree Pallas MSM program for
-    (n_pad, window)."""
+def msm_window_sums_jit(n: int, nW: int, window: int):
+    """The device program: digits (nW, n) int32 + Montgomery limb-major
+    coords (NL, n) -> per-window bucket-weighted Jacobian sums
+    ((NL, nW, 1) coords + (nW, 1) inf).  One program serves both the
+    single-MSM (nW = nw) and K-fold (nW = nw*K) shapes.
+
+    Round 5 moved everything AROUND the window sums off the device:
+    - Montgomery conversion is prover preprocessing (`_points_mont`
+      caches the converted device tensors on the G1Array — the CRS
+      points never change across proofs; the per-call to_mont +
+      limb-major relayout cost ~22 ms/MSM of reshape copies on-chip).
+    - The Horner window fold runs on the HOST in exact bigints
+      (`_fold_windows_host`): on device it was 264 serial point_doubles
+      on (1, 35) tensors — 64.5 ms/MSM of pure serial latency, ~11% of
+      the whole MSM — vs low single-digit ms in Python."""
     import jax
     import jax.numpy as jnp
 
     nb = 1 << window
-    nw = (255 + window - 1) // window
     add = _flat_add_factory()
     brev = _brev(n)
-    G = _group_windows(n, nw)
+    G = _group_windows(n, nW)
 
-    def msm(digits_all, Xs, Ys, inf):
-        # to Montgomery in row layout (fq ops are limb-minor), then ONE
-        # transpose into limb-major for the whole MSM
-        Xm = jnp.transpose(fq.to_mont(Xs), (1, 0))  # (NL, n)
-        Ym = jnp.transpose(fq.to_mont(Ys), (1, 0))
-        ws = _window_sums(
-            digits_all, Xm, Ym, inf, n, nb, add, G, jnp.asarray(brev)
+    def sums(digits_flat, Xm, Ym):
+        return _window_sums(
+            digits_flat, Xm, Ym, n, nb, add, G, jnp.asarray(brev)
         )
-        total = _horner_fold(ws, nw, 1, window)
-        return tuple(t[0] for t in total)
 
-    return jax.jit(msm)
+    return jax.jit(sums)
 
 
 @functools.lru_cache(maxsize=None)
-def msm_jit_blocks_multi(n: int, K: int, window: int):
-    """K MSMs over ONE point set through the wide tree: all K*nw scalar
-    windows ride the same group loop (the batched-Groth16 prove shape
-    of snark/tpu_msm.g1_msm_tpu_multi).  Returns K row-layout points
-    ((K, NL) coords + (K,) inf)."""
+def _premont_jit():
     import jax
     import jax.numpy as jnp
 
-    nb = 1 << window
-    nw = (255 + window - 1) // window
-    add = _flat_add_factory()
-    brev = _brev(n)
-    G = _group_windows(n, nw * K)
-
-    def msm_multi(digits_all, Xs, Ys, inf):
-        # digits_all: (nw, K, n) — flatten to (nw*K, n), w-major so the
-        # reshape back to (NL, nw, K) below is direct
-        Xm = jnp.transpose(fq.to_mont(Xs), (1, 0))
-        Ym = jnp.transpose(fq.to_mont(Ys), (1, 0))
-        flat = digits_all.reshape(nw * K, n)
-        ws = _window_sums(
-            flat, Xm, Ym, inf, n, nb, add, G, jnp.asarray(brev)
+    def conv(Xs, Ys):
+        return (
+            jnp.transpose(fq.to_mont(Xs), (1, 0)),
+            jnp.transpose(fq.to_mont(Ys), (1, 0)),
         )
-        ws = (
-            ws[0].reshape(fq.NL, nw, K),
-            ws[1].reshape(fq.NL, nw, K),
-            ws[2].reshape(fq.NL, nw, K),
-            ws[3].reshape(nw, K),
-        )
-        return _horner_fold(ws, nw, K, window)
 
-    return jax.jit(msm_multi)
+    return jax.jit(conv)
+
+
+def _points_mont(points, n_pad: int):
+    """Montgomery-domain limb-major (NL, n_pad) device coordinate
+    tensors, cached on the G1Array like tpu_msm._points_std_limbs (the
+    prover reuses the same CRS queries for every proof; same
+    immutability contract)."""
+    cache = getattr(points, "_tpu_mont_cache", None)
+    if cache is not None and n_pad in cache:
+        return cache[n_pad]
+    Xs, Ys, _inf = tm._points_std_limbs(points, n_pad)
+    out = _premont_jit()(Xs, Ys)
+    try:
+        if cache is None:
+            cache = points._tpu_mont_cache = {}
+        cache[n_pad] = out
+    except AttributeError:
+        pass
+    return out
+
+
+def _fold_windows_host(ws, nw: int, K: int, window: int):
+    """Horner-fold the device window sums on the host, exactly:
+    total_k = sum_w 2^(window*w) * S_{w,k} over Jacobian bigints
+    (snark/bls12_381 group law).  Returns K affine tuples / None.
+    Identical VALUE to the former on-device fold (the group law is
+    exact; Jacobian representatives differ, affine results cannot)."""
+    from .bls12_381 import g1_add, g1_double, g1_to_affine
+
+    ox, oy, oz, oinf = (np.asarray(t) for t in ws)
+    ox = ox.reshape(fq.NL, nw, K)
+    oy = oy.reshape(fq.NL, nw, K)
+    oz = oz.reshape(fq.NL, nw, K)
+    oinf = oinf.reshape(nw, K)
+    rinv = pow(fq.R_MONT, -1, tm.Q381)
+    out = []
+    for k in range(K):
+        total = None
+        for w in range(nw - 1, -1, -1):
+            if total is not None:
+                for _ in range(window):
+                    total = g1_double(total)
+            if not bool(oinf[w, k]):
+                pt = (
+                    fq.limbs_to_int(ox[:, w, k]) * rinv % tm.Q381,
+                    fq.limbs_to_int(oy[:, w, k]) * rinv % tm.Q381,
+                    fq.limbs_to_int(oz[:, w, k]) * rinv % tm.Q381,
+                )
+                total = g1_add(total, pt)
+        out.append(g1_to_affine(total) if total is not None else None)
+    return out
+
+
+def g1_msm_blocks(points, digits, n_pad: int, window: int):
+    """Single MSM through the wide tree: digits (nw, n_pad) int32 with
+    infinity points' scalars already zeroed (g1_msm_tpu does this).
+    Returns an affine point or None."""
+    import jax.numpy as jnp
+
+    Xm, Ym = _points_mont(points, n_pad)
+    nw = digits.shape[0]
+    ws = msm_window_sums_jit(n_pad, nw, window)(
+        jnp.asarray(digits), Xm, Ym
+    )
+    return _fold_windows_host(ws, nw, 1, window)[0]
+
+
+def g1_msm_blocks_multi(points, digits_all, n_pad: int, K: int,
+                        window: int):
+    """K MSMs over one point set: digits_all (nw, K, n_pad) int32,
+    flattened w-major so all K*nw windows ride one group loop.
+    Returns a list of K affine points / None."""
+    import jax.numpy as jnp
+
+    Xm, Ym = _points_mont(points, n_pad)
+    nw = digits_all.shape[0]
+    flat = digits_all.reshape(nw * K, n_pad)
+    ws = msm_window_sums_jit(n_pad, nw * K, window)(
+        jnp.asarray(flat), Xm, Ym
+    )
+    return _fold_windows_host(ws, nw, K, window)

@@ -236,7 +236,7 @@ def test_msm_pallas_flat_path_matches_host(monkeypatch):
     including zero scalars, an infinity point, heavy same-digit runs
     (split segments), a MULTI-GROUP window split (env cap 40 over
     nW=64 resolves to two lax.map groups of 32), and the K-fold multi
-    entry (msm_jit_blocks_multi)."""
+    entry (g1_msm_blocks_multi)."""
     import falcon_r1cs_tpu.ops.pallas_fq as pfq
     import falcon_r1cs_tpu.snark.tpu_msm_blocks as tmb
 
@@ -246,8 +246,8 @@ def test_msm_pallas_flat_path_matches_host(monkeypatch):
     monkeypatch.setenv("FALCON_R1CS_TPU_MSM_GROUP", "40")
     tpu_msm._msm_jit.cache_clear()
     tpu_msm._msm_multi_jit.cache_clear()
-    tmb.msm_jit_blocks.cache_clear()
-    tmb.msm_jit_blocks_multi.cache_clear()
+    tmb.msm_window_sums_jit.cache_clear()
+    tmb._premont_jit.cache_clear()
     pfq._build_point_add_cached.cache_clear()
     try:
         n = 32
@@ -272,13 +272,13 @@ def test_msm_pallas_flat_path_matches_host(monkeypatch):
         assert got == host(scalars)
     finally:
         tpu_msm._msm_jit.cache_clear()
-        tmb.msm_jit_blocks.cache_clear()
+        tmb.msm_window_sums_jit.cache_clear()
         pfq._build_point_add_cached.cache_clear()
 
 
 @pytest.mark.slow
 def test_msm_pallas_multi_matches_host(monkeypatch):
-    """K-fold multi through the wide tree (msm_jit_blocks_multi): all
+    """K-fold multi through the wide tree (g1_msm_blocks_multi): all
     K*nw scalar windows ride one limb-major tree and the Horner fold
     runs K lanes wide.  Tiny shape (n=16, window=4) — the tree core is
     shared with the single-MSM test above; what's specific here is the
@@ -289,7 +289,8 @@ def test_msm_pallas_multi_matches_host(monkeypatch):
 
     monkeypatch.setattr(pfq, "FORCE_INTERPRET", True)
     tpu_msm._msm_multi_jit.cache_clear()
-    tmb.msm_jit_blocks_multi.cache_clear()
+    tmb.msm_window_sums_jit.cache_clear()
+    tmb._premont_jit.cache_clear()
     pfq._build_point_add_cached.cache_clear()
     try:
         n = 16
@@ -317,7 +318,7 @@ def test_msm_pallas_multi_matches_host(monkeypatch):
             assert multi[k] == host(sc), f"k={k}"
     finally:
         tpu_msm._msm_multi_jit.cache_clear()
-        tmb.msm_jit_blocks_multi.cache_clear()
+        tmb.msm_window_sums_jit.cache_clear()
         pfq._build_point_add_cached.cache_clear()
 
 

@@ -72,6 +72,58 @@ def main():
     print(f"tpu  msm_multi K={K}: {dt:6.2f}s ({dt/K*1e3:7.1f} ms/MSM, "
           f"~{modmul/1e6:.1f}M modmul/s)")
 
+    # device-profiled rate: the wall number above includes the drifting
+    # tunnel (digit upload ~0.35 MB/window) and the host fold; the trace
+    # isolates what the chip itself spends (utils/profiling discipline)
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    import jax
+
+    tmp = tempfile.mkdtemp(prefix="msm_multi_prof_")
+    try:
+        with jax.profiler.trace(tmp):
+            for _ in range(iters):
+                tpu_msm.g1_msm_tpu_multi(pts, scalars)
+        path = glob.glob(os.path.join(tmp, "**", "*.trace.json.gz"),
+                         recursive=True)[0]
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        tid_names = {
+            (e["pid"], e["tid"]): e["args"]["name"]
+            for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+        }
+        # UNION of event intervals, not sum of durations: the lax.map
+        # `while` op is emitted as one event spanning the whole loop AND
+        # its inner ops are emitted individually — a naive sum counts
+        # the loop body twice (observed: "device" 1.65 s vs wall 1.51 s)
+        spans = sorted(
+            (e["ts"], e["ts"] + e.get("dur", 0))
+            for e in data["traceEvents"]
+            if e.get("ph") == "X"
+            and tid_names.get((e.get("pid"), e.get("tid"))) == "XLA Ops"
+        )
+        busy = 0.0
+        cur_s = cur_e = None
+        for s, t in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, t
+            else:
+                cur_e = max(cur_e, t)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        dev_us = busy / iters
+        print(f"tpu  msm_multi K={K}: device {dev_us/1e6:6.3f}s "
+              f"({dev_us/1e3/K:7.1f} ms/MSM device)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

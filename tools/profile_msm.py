@@ -89,7 +89,7 @@ def main():
             tid_names[(e["pid"], e["tid"])] = e["args"]["name"]
     by_op = collections.Counter()
     meta = {}
-    total = 0.0
+    spans = []
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -99,8 +99,24 @@ def main():
         by_op[e["name"]] += dur
         if e["name"] not in meta and e.get("args"):
             meta[e["name"]] = e["args"]
-        total += dur
-    print(f"MSM n=2^{log2n}: {total/1e6:.3f} s/MSM device\n")
+        spans.append((e["ts"], e["ts"] + e.get("dur", 0)))
+    # total = interval UNION (a `while` row spans its whole loop AND the
+    # inner ops are emitted individually — a sum double-counts them);
+    # the per-op table keeps raw per-name sums for attribution
+    spans.sort()
+    busy = 0.0
+    cur_s = cur_e = None
+    for s, t in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s, t
+        else:
+            cur_e = max(cur_e, t)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    total = busy / iters
+    print(f"MSM n=2^{log2n}: {total/1e6:.3f} s/MSM device (busy-union)\n")
     for name, us in by_op.most_common(30):
         a = meta.get(name, {})
         detail = str(
