@@ -43,8 +43,11 @@ def test_strict_pallas_pref_fails_loudly_on_cpu():
 
 
 def test_device_time_trace_accounting(tmp_path):
-    """Only the "XLA Ops" row is summed; the equal-total "XLA Modules" row
-    must NOT double the result."""
+    """Only the "XLA Ops" row counts; the equal-total "XLA Modules" row
+    must NOT double the result, and NESTED events (a lax.map/scan
+    `while` row spanning its whole loop plus the inner ops emitted
+    individually) must be unioned, not summed (round 5: a duration sum
+    reported the K-fold MSM 'device' time above its own wall time)."""
     import sys
     from pathlib import Path
 
@@ -60,19 +63,31 @@ def test_device_time_trace_accounting(tmp_path):
          "args": {"name": "XLA Ops"}},
         # module-row total deliberately DIFFERENT from the ops-row total so
         # the assertion discriminates which row was summed
-        {"ph": "X", "pid": 7, "tid": 1, "dur": 1300, "name": "module"},
-        {"ph": "X", "pid": 7, "tid": 2, "dur": 600, "name": "fusion.1"},
-        {"ph": "X", "pid": 7, "tid": 2, "dur": 400, "name": "fusion.2"},
+        {"ph": "X", "pid": 7, "tid": 1, "ts": 0, "dur": 1300,
+         "name": "module"},
+        {"ph": "X", "pid": 7, "tid": 2, "ts": 0, "dur": 600,
+         "name": "fusion.1"},
+        {"ph": "X", "pid": 7, "tid": 2, "ts": 600, "dur": 400,
+         "name": "fusion.2"},
+        # a while row spans [1000, 2000) AND its inner ops are emitted
+        # individually — union must count that second as once, not twice
+        {"ph": "X", "pid": 7, "tid": 2, "ts": 1000, "dur": 1000,
+         "name": "while.1"},
+        {"ph": "X", "pid": 7, "tid": 2, "ts": 1000, "dur": 500,
+         "name": "fusion.3"},
+        {"ph": "X", "pid": 7, "tid": 2, "ts": 1500, "dur": 500,
+         "name": "fusion.4"},
         # host events must be excluded entirely
         {"ph": "M", "name": "process_name", "pid": 1,
          "args": {"name": "/host:CPU"}},
-        {"ph": "X", "pid": 1, "tid": 9, "dur": 99999, "name": "python"},
+        {"ph": "X", "pid": 1, "tid": 9, "ts": 0, "dur": 99999,
+         "name": "python"},
     ]
     d = tmp_path / "plugins" / "profile" / "run1"
     d.mkdir(parents=True)
     with gzip.open(d / "host.trace.json.gz", "wt") as f:
         json.dump({"traceEvents": events}, f)
-    assert device_time_us_from_trace(str(tmp_path)) == 1000
+    assert device_time_us_from_trace(str(tmp_path)) == 2000
 
 
 def test_g1_backend_policy_is_measured_and_overridable(monkeypatch):
