@@ -44,8 +44,8 @@ The VMEM-resident Pallas point kernels (ops/pallas_fq.py) are the
 round-4/5 path past the HBM-bound XLA formulation: `use_pallas=True`
 (the default when the Mosaic capability probe passes) runs the
 limb-major wide-tree engine (snark/tpu_msm_blocks.py) at
-**0.417 s/MSM device-profiled** for the same shape — ~31x the XLA
-path, within ~2.2x of the host C (ENGINEERING.md "The Pallas MSM
+**0.294 s/MSM device-profiled** for the same shape — ~44x the XLA
+path, within ~1.6x of the host C (ENGINEERING.md "The Pallas MSM
 optimization ladder").
 """
 

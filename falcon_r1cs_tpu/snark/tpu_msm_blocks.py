@@ -118,17 +118,48 @@ def _sel(cond, a, b):
     )
 
 
+def _bank_layout() -> str:
+    """Bucket-bank memory layout (A/B-able on-chip; read at TRACE time —
+    a process changing it must msm_window_sums_jit.cache_clear()):
+    - "row" (default): one (W*nb + 1, 3*NL + 1) row-major bank; each
+      emission is ONE scatter of 424-byte CONTIGUOUS rows (x|y|z limbs
+      + inf), at the price of transposing the emitted values out of
+      limb-major.  Measured on-chip (round 5): 0.417 -> 0.294 s/MSM at
+      the 2^17 h_query shape, bit-equal — the four per-emission element
+      scatters (~43 ms at the top level) became one row scatter
+      (11.6 ms); element scatters run ~10 ns/element vs ~0.05 ns/element
+      for contiguous-row moves.
+    - "limb": the round-4 form — four (NL, W*nb) limb-major planes,
+      four element scatters per emission (kept as the differential
+      fallback; the hermetic multi-MSM lane pins it)."""
+    return os.environ.get("FALCON_R1CS_TPU_MSM_BANK", "row")
+
+
 def _scatter(bufs, key, val, valid, nb: int):
-    """Write flat point columns into the (NL, W*nb) bucket bank.
+    """Write flat point columns into the bucket bank ("limb" planes or
+    the "row" bank — see _bank_layout).
 
     `key` is (W, c) in [0, nb); each window's keys are offset into its
-    own nb-wide slot so one scatter serves the whole group."""
+    own nb-wide slot so one scatter serves the whole group.  Invalid
+    lanes are redirected one past the bank and dropped."""
     import jax.numpy as jnp
 
-    bx, by, bz, binf = bufs
     W, c = key.shape
     off = (jnp.arange(W, dtype=jnp.int32) * nb)[:, None]
     idx = jnp.where(valid, key + off, W * nb).astype(jnp.int32).reshape(-1)
+    if _bank_layout() == "row":
+        m = idx.shape[0]
+        rows = jnp.concatenate(
+            [
+                jnp.transpose(val[0].reshape(fq.NL, m), (1, 0)),
+                jnp.transpose(val[1].reshape(fq.NL, m), (1, 0)),
+                jnp.transpose(val[2].reshape(fq.NL, m), (1, 0)),
+                val[3].reshape(m, 1).astype(jnp.int32),
+            ],
+            axis=1,
+        )  # (m, 3*NL + 1)
+        return bufs.at[idx].set(rows, mode="drop")
+    bx, by, bz, binf = bufs
     bx = bx.at[:, idx].set(val[0].reshape(fq.NL, -1), mode="drop")
     by = by.at[:, idx].set(val[1].reshape(fq.NL, -1), mode="drop")
     bz = bz.at[:, idx].set(val[2].reshape(fq.NL, -1), mode="drop")
@@ -148,12 +179,17 @@ def _bucket_reduce_flat(pt, keys, nb: int, add):
 
     W, n = keys.shape
     assert n & (n - 1) == 0
-    bufs = (
-        jnp.zeros((fq.NL, W * nb), jnp.int32),
-        jnp.zeros((fq.NL, W * nb), jnp.int32),
-        jnp.zeros((fq.NL, W * nb), jnp.int32),
-        jnp.ones((W * nb,), bool),
-    )
+    if _bank_layout() == "row":
+        # unwritten rows must read as infinity: inf column (3*NL) = 1
+        bufs = jnp.zeros((W * nb + 1, 3 * fq.NL + 1), jnp.int32)
+        bufs = bufs.at[:, 3 * fq.NL].set(1)
+    else:
+        bufs = (
+            jnp.zeros((fq.NL, W * nb), jnp.int32),
+            jnp.zeros((fq.NL, W * nb), jnp.int32),
+            jnp.zeros((fq.NL, W * nb), jnp.int32),
+            jnp.ones((W * nb,), bool),
+        )
     H = T = pt
     kf = kl = keys
     c = n
@@ -178,6 +214,16 @@ def _bucket_reduce_flat(pt, keys, nb: int, add):
         c = c2
     bufs = _scatter(bufs, kf, H, jnp.ones((W, 1), bool), nb)
     bufs = _scatter(bufs, kl, T, kl != kf, nb)
+    if _bank_layout() == "row":
+        # one transpose back to the limb-major planes the weighted-sum
+        # phase consumes (12.6 MB per plane — noise)
+        live = bufs[: W * nb]
+        return (
+            jnp.transpose(live[:, 0 : fq.NL], (1, 0)),
+            jnp.transpose(live[:, fq.NL : 2 * fq.NL], (1, 0)),
+            jnp.transpose(live[:, 2 * fq.NL : 3 * fq.NL], (1, 0)),
+            live[:, 3 * fq.NL] != 0,
+        )
     return bufs
 
 

@@ -283,11 +283,14 @@ def test_msm_pallas_multi_matches_host(monkeypatch):
     runs K lanes wide.  Tiny shape (n=16, window=4) — the tree core is
     shared with the single-MSM test above; what's specific here is the
     (nw, K, n) flatten, the (NL, nw, K) reshape back, and the K-wide
-    fold, all of which a wrong stride would break."""
+    fold, all of which a wrong stride would break.  Pins the "limb"
+    bucket-bank fallback so both bank layouts stay covered (the
+    flat-path test above runs the default "row" bank)."""
     import falcon_r1cs_tpu.ops.pallas_fq as pfq
     import falcon_r1cs_tpu.snark.tpu_msm_blocks as tmb
 
     monkeypatch.setattr(pfq, "FORCE_INTERPRET", True)
+    monkeypatch.setenv("FALCON_R1CS_TPU_MSM_BANK", "limb")
     tpu_msm._msm_multi_jit.cache_clear()
     tmb.msm_window_sums_jit.cache_clear()
     tmb._premont_jit.cache_clear()
