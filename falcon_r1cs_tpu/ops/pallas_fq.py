@@ -80,6 +80,17 @@ _CRTW_TAB = np.ascontiguousarray(
 _CRTP_TAB = _lane_tab(_CRT_PRIMES, np.int32)         # (30, 128)
 _CRTR_TAB = _lane_tab(_CRT_RECIP, np.float32)        # (30, 128)
 
+# canonical limbs of 1 in the Montgomery domain (the implicit affine Z
+# of the affine-add kernel), as an (NL, 128) lane table
+from . import fq_mont as _fqm
+
+_ZONE_TAB = _lane_tab(
+    _fqm.int_to_limbs(
+        [_fqm.R_MONT % _fqm.limbs_to_int(np.asarray(Q_LIMBS))]
+    )[0],
+    np.int32,
+)
+
 
 # --------------------------------------------------------------------------
 # layout converters (XLA, at the kernel boundary)
@@ -382,6 +393,125 @@ def _point_add_kernel(
     y3_ref[:, 0] = Y3
     z3_ref[:, 0] = Z3
     i3_ref[0] = is_inf3
+
+
+def _point_add_aff_kernel(
+    x1_ref, y1_ref, i1_ref,
+    x2_ref, y2_ref, i2_ref,
+    mu_ref, q_ref, cw_ref, aw_ref, crtw_ref, crtp_ref, crtr_ref,
+    zone_ref,
+    x3_ref, y3_ref, z3_ref, i3_ref,
+    prod_ref,
+):
+    """Complete addition of two AFFINE points (implicit Z1 = Z2 = 1, the
+    Montgomery one passed as a lane table): the MSM merge tree's level-1
+    leaves.  Z=1 collapses the chord path to 6 mont_muls (I, J, V, rr^2,
+    rr*(V-X3), Y1*J) and the tangent path to 6 (A, B, C, t^2, F,
+    E*(D-Xd)) vs the generic kernel's 17+ — level 1 is HALF of all tree
+    adds.  Output is ordinary Jacobian.  Same selects/infinity handling
+    as _point_add_kernel.  Equality contract: intermediate LIMB
+    REPRESENTATIVES differ from the generic kernel (the skipped
+    by-one mont_muls re-relaxed their operands there), but every
+    coordinate agrees in VALUE mod q and all selects are value-exact
+    mod-q tests, so the final normalized MSM output is identical —
+    the same relaxed-representation argument the whole limb pipeline
+    rests on (ops/fq_mont.py)."""
+    X1, Y1 = x1_ref[:, 0], y1_ref[:, 0]
+    X2, Y2 = x2_ref[:, 0], y2_ref[:, 0]
+    inf1, inf2 = i1_ref[0], i2_ref[0]
+    mu, q, cw = mu_ref[...], q_ref[...], cw_ref[...]
+    eq_tabs = (q, aw_ref[...], crtw_ref[...], crtp_ref[...], crtr_ref[...])
+    one = zone_ref[...][:, None, :]  # (NL, 1, 128) -> broadcast rows
+
+    def mul(p, v):
+        return _mont_mul_arr(p, v, prod_ref, mu, q, cw)
+
+    H = _sub_arr(X2, X1)
+    HH = _dbl_arr(H)
+    I = mul(HH, HH)
+    J = mul(H, I)
+    rr = _dbl_arr(_sub_arr(Y2, Y1))
+    V = mul(X1, I)
+    X3 = _sub_arr(_sub_arr(mul(rr, rr), J), _dbl_arr(V))
+    Y3 = _sub_arr(mul(rr, _sub_arr(V, X3)), _dbl_arr(mul(Y1, J)))
+    Z3 = _dbl_arr(H)
+
+    # doubling path (dbl-2007-bl, Z1 = 1)
+    A = mul(X1, X1)
+    B = mul(Y1, Y1)
+    C = mul(B, B)
+    t = _add_arr(X1, B)
+    t = mul(t, t)
+    t = _sub_arr(_sub_arr(t, A), C)
+    D = _dbl_arr(t)
+    E = _add_arr(_dbl_arr(A), A)
+    F = mul(E, E)
+    Xd = _sub_arr(F, _dbl_arr(D))
+    Yd = _sub_arr(mul(E, _sub_arr(D, Xd)), _dbl_arr(C, 3))
+    Zd = _dbl_arr(Y1)
+
+    same_x = _eq_arr(X1, X2, *eq_tabs)
+    same_y = _eq_arr(Y1, Y2, *eq_tabs)
+    n1 = 1 - inf1
+    n2 = 1 - inf2
+    use_dbl = same_x * same_y * n1 * n2
+    is_inf3 = jnp.minimum(
+        same_x * (1 - same_y) * n1 * n2 + inf1 * inf2, 1
+    )
+
+    def sel(cond, a, b):
+        return jnp.where(cond[None] == 1, a, b)
+
+    onz = jnp.broadcast_to(one, Z3.shape)
+    X3 = sel(use_dbl, Xd, X3)
+    Y3 = sel(use_dbl, Yd, Y3)
+    Z3 = sel(use_dbl, Zd, Z3)
+    X3 = sel(inf1, X2, sel(inf2, X1, X3))
+    Y3 = sel(inf1, Y2, sel(inf2, Y1, Y3))
+    Z3 = sel(inf1, onz, sel(inf2, onz, Z3))
+    x3_ref[:, 0] = X3
+    y3_ref[:, 0] = Y3
+    z3_ref[:, 0] = Z3
+    i3_ref[0] = is_inf3
+
+
+def _build_point_add_aff(interpret: bool = False):
+    return _build_point_add_aff_cached(interpret or FORCE_INTERPRET)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_point_add_aff_cached(interpret: bool):
+    import jax as _jax
+
+    def run(p1, p2):
+        x1, y1, f1 = p1
+        x2, y2, f2 = p2
+        nb = x1.shape[1]
+        fq_shape = jax.ShapeDtypeStruct((NL, nb, 8, 128), jnp.int32)
+        fl_shape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32)
+        return pl.pallas_call(
+            _point_add_aff_kernel,
+            grid=(nb,),
+            in_specs=[_FQ_SPEC, _FQ_SPEC, _FL_SPEC] * 2
+            + _MUL_CONST_SPECS + _EQ_CONST_SPECS
+            + [_const_spec(_ZONE_TAB.shape)],
+            out_specs=[_FQ_SPEC, _FQ_SPEC, _FQ_SPEC, _FL_SPEC],
+            out_shape=[fq_shape, fq_shape, fq_shape, fl_shape],
+            scratch_shapes=[pltpu.VMEM((PROD, 8, 128), jnp.int32)],
+            interpret=interpret,
+        )(x1, y1, f1, x2, y2, f2, *_MUL_CONSTS, *_EQ_CONSTS, _ZONE_TAB)
+
+    return _jax.jit(run)
+
+
+def point_add_aff_pallas(p1, p2, interpret: bool = False):
+    """Complete add of two AFFINE block-layout points: p = (X, Y, inf)
+    with X/Y (NL, NB, 8, 128) int32 canonical Montgomery limbs and inf
+    (NB, 8, 128) int32 0/1.  Returns Jacobian (X, Y, Z, inf) blocks.
+    VALUE-equal (mod q per coordinate; identical normalized points) to
+    point_add_pallas with canonical-one Z planes — see the kernel
+    docstring for the representative-equality contract."""
+    return _build_point_add_aff(interpret)(p1, p2)
 
 
 def _build_point_add(interpret: bool = False):

@@ -733,10 +733,10 @@ def g1_msm_tpu_multi(points, scalars_multi, window: int | None = None,
         rows = [np.where(mask[:, None], np.uint64(0), r) for r in rows]
     kc = max(1, min(K, _MULTI_LANE_BUDGET // n_pad))
     K_run = K if use_pallas else ((K + kc - 1) // kc) * kc
+    _dig = _window_digits_signed if use_pallas else _window_digits
     digits = np.stack(
-        [_window_digits(r, window) for r in rows]
-        + [np.zeros_like(_window_digits(rows[0], window))]
-        * (K_run - K),
+        [_dig(r, window) for r in rows]
+        + [np.zeros_like(_dig(rows[0], window))] * (K_run - K),
         axis=1,
     )  # (nw, K_run, n)
     if n_pad > n:
@@ -810,6 +810,32 @@ def _window_digits(scalars_u64: np.ndarray, window: int = WINDOW) -> np.ndarray:
     return out
 
 
+def _window_digits_signed(scalars_u64: np.ndarray,
+                          window: int = WINDOW) -> np.ndarray:
+    """Signed-digit recode for the wide-tree engine: digits in
+    [-(2^(w-1)-1), 2^(w-1)] packed as  magnitude | (sign << w).
+
+    Halves the bucket count (the weighted-sum phase scales with 2^w;
+    the point cost of a sign is one elementwise Y negation on device).
+    Standard carry recode: v = d + carry; v > 2^(w-1) emits v - 2^w
+    and carries 1.  Scalars are < r < 2^255, so the top window absorbs
+    the final carry (asserted)."""
+    d = _window_digits(scalars_u64, window)
+    half = 1 << (window - 1)
+    full = 1 << window
+    out = np.zeros_like(d)
+    carry = np.zeros(d.shape[1], dtype=np.int32)
+    for w in range(d.shape[0]):
+        v = d[w] + carry
+        neg = v > half
+        carry = neg.astype(np.int32)
+        sv = np.where(neg, v - full, v)
+        out[w] = np.abs(sv) | (np.where(sv < 0, 1, 0) << window)
+    if carry.any():
+        raise ValueError("signed recode: top-window carry overflow")
+    return out
+
+
 def g1_msm_tpu(points, scalars, window: int | None = None,
                use_pallas: bool | None = None):
     """MSM over a points.G1Array; returns an affine point or None.
@@ -845,7 +871,10 @@ def g1_msm_tpu(points, scalars, window: int | None = None,
         # (an on-device inf gather cost 23 ms/MSM); zero their scalars
         sc = sc.copy()
         sc[points.inf.astype(bool)] = 0
-    digits = _window_digits(sc, window)
+    digits = (
+        _window_digits_signed(sc, window) if use_pallas
+        else _window_digits(sc, window)
+    )
     if n_pad > n:
         digits = np.concatenate(
             [digits, np.zeros((digits.shape[0], n_pad - n), np.int32)], axis=1

@@ -106,6 +106,52 @@ def _flat_add_factory():
     return add
 
 
+def _flat_aff_add_factory():
+    """Complete point_add of two AFFINE flat points ((NL, ..., m) X/Y +
+    (..., m) bool flags, implicit Z = one): the merge tree's level-1
+    add — 12 mont_muls instead of the generic kernel's 17+ (level 1 is
+    half of all tree adds).  Returns a Jacobian flat 4-tuple."""
+    import jax.numpy as jnp
+
+    from ..ops import pallas_fq as pfq
+
+    def add(p1, p2):
+        shp = p1[2].shape
+        m = 1
+        for s in shp:
+            m *= s
+        mp = ((m + pfq.BLK - 1) // pfq.BLK) * pfq.BLK
+        nbk = mp // pfq.BLK
+
+        def prep(pt):
+            x, y, f = pt
+            x = x.reshape(fq.NL, m)
+            y = y.reshape(fq.NL, m)
+            f = f.reshape(m)
+            if mp != m:
+                padc = jnp.zeros((fq.NL, mp - m), jnp.int32)
+                x = jnp.concatenate([x, padc], axis=1)
+                y = jnp.concatenate([y, padc], axis=1)
+                f = jnp.concatenate(
+                    [f, jnp.ones((mp - m,), f.dtype)], axis=0
+                )
+            return (
+                x.reshape(fq.NL, nbk, 8, 128),
+                y.reshape(fq.NL, nbk, 8, 128),
+                f.astype(jnp.int32).reshape(nbk, 8, 128),
+            )
+
+        ox, oy, oz, of = pfq.point_add_aff_pallas(prep(p1), prep(p2))
+        return (
+            ox.reshape(fq.NL, mp)[:, :m].reshape((fq.NL,) + shp),
+            oy.reshape(fq.NL, mp)[:, :m].reshape((fq.NL,) + shp),
+            oz.reshape(fq.NL, mp)[:, :m].reshape((fq.NL,) + shp),
+            (of.reshape(mp) != 0)[:m].reshape(shp),
+        )
+
+    return add
+
+
 def _sel(cond, a, b):
     """Select between two flat point tuples by a (..., m) bool."""
     import jax.numpy as jnp
@@ -167,18 +213,27 @@ def _scatter(bufs, key, val, valid, nb: int):
     return (bx, by, bz, binf)
 
 
-def _bucket_reduce_flat(pt, keys, nb: int, add):
+def _bucket_reduce_flat(pt_aff, keys, nb: int, add, aff_add):
     """tpu_msm._bucket_reduce with bit-reversed placement and an
-    explicit window axis: coords (NL, W, n), keys (W, n).  Leaves must
-    arrive with position p holding sorted element brev(p); merges then
-    read CONTIGUOUS halves (left = [..., :c2], right = [..., c2:c],
-    partner p <-> p + c2 covering adjacent sorted ranges).  All W
-    windows share every level's kernel dispatch; returns the
-    (NL, W*nb) bucket bank."""
+    explicit window axis: AFFINE leaves (X, Y (NL, W, n), flags
+    (W, n)), keys (W, n).  Leaves must arrive with position p holding
+    sorted element brev(p); merges then read CONTIGUOUS halves (left =
+    [..., :c2], right = [..., c2:c], partner p <-> p + c2 covering
+    adjacent sorted ranges).  All W windows share every level's kernel
+    dispatch; returns the (NL, W*nb) bucket bank.
+
+    Level 1 is special-cased (round 5): both operands are affine
+    single-leaf nodes, so (a) the add runs the 12-mul affine kernel
+    instead of the generic 17+-mul Jacobian kernel, (b) Jacobian Z is
+    materialized only from half width on, and (c) the two emission
+    scatters are SKIPPED outright — a level-1 node is single-segment
+    (kf == kl), which makes every emission lane invalid; the generic
+    loop was paying two full-width all-dropped scatters (~23 ms/MSM at
+    the h_query shape) to write nothing."""
     import jax.numpy as jnp
 
     W, n = keys.shape
-    assert n & (n - 1) == 0
+    assert n & (n - 1) == 0 and n >= 2
     if _bank_layout() == "row":
         # unwritten rows must read as infinity: inf column (3*NL) = 1
         bufs = jnp.zeros((W * nb + 1, 3 * fq.NL + 1), jnp.int32)
@@ -190,9 +245,20 @@ def _bucket_reduce_flat(pt, keys, nb: int, add):
             jnp.zeros((fq.NL, W * nb), jnp.int32),
             jnp.ones((W * nb,), bool),
         )
-    H = T = pt
-    kf = kl = keys
-    c = n
+    # --- level 1: affine add, no emissions possible ---
+    c2 = n // 2
+    lk, rk = keys[..., :c2], keys[..., c2:]
+    l_aff = tuple(a[..., :c2] for a in pt_aff)
+    r_aff = tuple(a[..., c2:] for a in pt_aff)
+    bridge = aff_add(l_aff, r_aff)
+    same = lk == rk
+    one = jnp.broadcast_to(
+        jnp.asarray(tm._Z_ONE)[:, None, None], (fq.NL, W, c2)
+    )
+    H = _sel(same, bridge, (l_aff[0], l_aff[1], one, l_aff[2]))
+    T = _sel(same, bridge, (r_aff[0], r_aff[1], one, r_aff[2]))
+    kf, kl = lk, rk
+    c = c2
     while c > 1:
         c2 = c // 2
         lH = tuple(a[..., :c2] for a in H)
@@ -333,12 +399,13 @@ def _group_windows(n: int, nw: int) -> int:
     return 1
 
 
-def _window_sums(digits_flat, Xm, Ym, n: int, nb: int, add, G: int,
-                 brev_d):
+def _window_sums(digits_flat, Xm, Ym, n: int, window: int, add, aff_add,
+                 G: int, brev_d):
     """Shared wide-tree core: per-window bucket-weighted sums.
 
-    digits_flat (nW, n) int32 — any stack of scalar windows over ONE
-    point set (a single MSM's nw windows, or K MSMs' nw*K); returns
+    digits_flat (nW, n) int32, SIGNED-PACKED (magnitude | sign << w,
+    tpu_msm._window_digits_signed) — any stack of scalar windows over
+    ONE point set (a single MSM's nw windows, or K MSMs' nw*K); returns
     coords (NL, nW, 1) + inf (nW, 1).  Windows are processed G at a
     time (G | nW) under lax.map, which both bounds live HBM to ONE
     group's temps (XLA overlaps the temps of independent unrolled
@@ -346,47 +413,58 @@ def _window_sums(digits_flat, Xm, Ym, n: int, nb: int, add, G: int,
     however many groups there are.
 
     Round-5 profile-driven glue cuts (tools/profile_msm.py on-chip):
-    - VARIADIC sort: lax.sort carries the position payload with the
-      digit keys, so the sorted digits come out of the sort directly —
+    - VARIADIC sort: lax.sort carries the sign and position payloads
+      with the MAGNITUDE keys, so sorted digits come out of the sort —
       the separate take_along_axis digit gather cost 29.4 ms/MSM
       (element gathers run ~10 ns/element vs ~0.05 ns/element for the
       140-byte-row coordinate gathers).
-    - Leaf infinity = (d == 0) alone: callers zero the scalars of
-      infinity points on the host (g1_msm_tpu), killing a 23.2 ms
-      boolean element gather.  Padding already has zero scalars."""
+    - Leaf infinity = (magnitude == 0) alone: callers zero the scalars
+      of infinity points on the host (g1_msm_tpu), killing a 23.2 ms
+      boolean element gather.  Padding already has zero scalars.
+    - SIGNED digits: buckets run 1..2^(w-1) instead of 1..2^w-1, so
+      the weighted-sum phase (suffix scan over nb buckets) halves; a
+      sign costs one elementwise Y negation at the leaves (a negated
+      relaxed limb vector is a valid relaxed representation of -y —
+      the same class point_add's own subtractions produce)."""
     import jax
     import jax.numpy as jnp
 
+    nb = (1 << (window - 1)) + 1  # magnitudes 0..2^(w-1)
     nW = digits_flat.shape[0]
     assert nW % G == 0, (nW, G)
+    mag = digits_flat & ((1 << window) - 1)
+    sign = digits_flat >> window
     # one batched variadic sort + bit-reversed placement for ALL windows
     iota = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None], (nW, n)
     )
-    d_sorted, order = jax.lax.sort(
-        (digits_flat, iota), dimension=1, is_stable=True, num_keys=1
+    d_sorted, s_sorted, order = jax.lax.sort(
+        (mag, sign, iota), dimension=1, is_stable=True, num_keys=1
     )
     idx_all = order[:, brev_d]
     d_all = d_sorted[:, brev_d]
+    s_all = s_sorted[:, brev_d]
 
     def group(args):
-        idx, d = args  # (G, n)
-        pt = (
-            Xm[:, idx],  # (NL, G, n)
-            Ym[:, idx],
-            jnp.broadcast_to(
-                jnp.asarray(tm._Z_ONE)[:, None, None], (fq.NL, G, n)
-            ),
-            d == 0,
-        )
-        bufs = _bucket_reduce_flat(pt, d, nb, add)
+        idx, d, s = args  # (G, n)
+        Yg = Ym[:, idx]
+        Yg = jnp.where(s[None] == 1, -Yg, Yg)
+        # AFFINE leaves (implicit Z = one): level 1 runs the 12-mul
+        # affine kernel and skips its (always-empty) emission scatters
+        pt = (Xm[:, idx], Yg, d == 0)
+        bufs = _bucket_reduce_flat(pt, d, nb, add, aff_add)
         return _weighted_bucket_sum_flat(bufs, G, nb, add)
 
     ng = nW // G
     if ng == 1:
-        return group((idx_all, d_all))
+        return group((idx_all, d_all, s_all))
     gx, gy, gz, gi = jax.lax.map(
-        group, (idx_all.reshape(ng, G, n), d_all.reshape(ng, G, n))
+        group,
+        (
+            idx_all.reshape(ng, G, n),
+            d_all.reshape(ng, G, n),
+            s_all.reshape(ng, G, n),
+        ),
     )
     # stacked (ng, NL, G, 1) / (ng, G, 1) -> (NL, nW, 1) / (nW, 1);
     # group-major order g*G + w matches the pre-map concatenation
@@ -417,14 +495,15 @@ def msm_window_sums_jit(n: int, nW: int, window: int):
     import jax
     import jax.numpy as jnp
 
-    nb = 1 << window
     add = _flat_add_factory()
+    aff_add = _flat_aff_add_factory()
     brev = _brev(n)
     G = _group_windows(n, nW)
 
     def sums(digits_flat, Xm, Ym):
         return _window_sums(
-            digits_flat, Xm, Ym, n, nb, add, G, jnp.asarray(brev)
+            digits_flat, Xm, Ym, n, window, add, aff_add, G,
+            jnp.asarray(brev)
         )
 
     return jax.jit(sums)

@@ -119,3 +119,62 @@ def test_point_add_bit_equal_all_paths():
     got_inf = np.asarray(pf.flags_from_blocks(ginf))
     assert np.array_equal(got_inf, np.asarray(winf))
     assert got_inf[64:96].all()  # the P + (-P) rows really hit infinity
+
+
+def test_point_add_affine_kernel_matches_generic():
+    """The level-1 affine-add kernel (round 5): same select paths as
+    the generic kernel driven with Z = one.  Intermediate limb
+    REPRESENTATIVES legitimately differ (the skipped by-one mont_muls
+    re-relax operands in the generic kernel), so equality is asserted
+    where it is contractual: infinity flags bit-equal, every finite
+    output equal as a NORMALIZED affine point."""
+    import falcon_r1cs_tpu.snark.tpu_msm as tm
+    from falcon_r1cs_tpu.snark import bls12_381 as bls, msm
+    from falcon_r1cs_tpu.snark.points import G1Array
+
+    R = 1024
+    seed = [int(s) for s in rng.integers(1, 2**31, R)]
+    pts = msm.g1_normalize_batch(
+        msm.g1_fixed_base(bls.G1_GEN).mul_batch(seed)
+    )
+    arr = G1Array.from_affine_list(pts)
+    Xs, Ys, _ = tm._points_std_limbs(arr, R)
+    X = fq.to_mont(jnp.asarray(Xs))
+    Y = fq.to_mont(jnp.asarray(Ys))
+    z_one = fq.int_to_limbs([(1 << 408) % bls.P])
+    Z = jnp.asarray(np.broadcast_to(z_one, (R, fq.NL)).copy())
+
+    perm = rng.permutation(R)
+    X2, Y2 = X[perm], Y[perm]
+    # rows 0:64 doubling; 64:96 P + (-P); 96:128 inf1; 128:160 inf2
+    X2 = X2.at[:96].set(X[:96])
+    Y2 = Y2.at[:64].set(Y[:64])
+    Y2 = Y2.at[64:96].set(
+        fq.sub_mod(jnp.zeros_like(Y[64:96]), Y[64:96])
+    )
+    inf1 = np.zeros(R, bool)
+    inf1[96:128] = True
+    inf2 = np.zeros(R, bool)
+    inf2[128:160] = True
+
+    wx, wy, wz, winf = tm.point_add(
+        (X, Y, Z, jnp.asarray(inf1)), (X2, Y2, Z, jnp.asarray(inf2))
+    )
+    a1 = (pf.to_blocks(X), pf.to_blocks(Y),
+          pf.flags_to_blocks(jnp.asarray(inf1)))
+    a2 = (pf.to_blocks(X2), pf.to_blocks(Y2),
+          pf.flags_to_blocks(jnp.asarray(inf2)))
+    gx, gy, gz, ginf = pf.point_add_aff_pallas(a1, a2, interpret=True)
+    gx = np.asarray(pf.from_blocks(gx))
+    gy = np.asarray(pf.from_blocks(gy))
+    gz = np.asarray(pf.from_blocks(gz))
+    ginf = np.asarray(pf.flags_from_blocks(ginf))
+    wx, wy, wz, winf = (np.asarray(t) for t in (wx, wy, wz, winf))
+    assert np.array_equal(ginf, winf)
+    check = list(range(0, 192)) + [int(i) for i in rng.integers(192, R, 24)]
+    for i in check:
+        if ginf[i]:
+            continue
+        got = tm._jac_mont_to_affine(gx[i], gy[i], gz[i])
+        want = tm._jac_mont_to_affine(wx[i], wy[i], wz[i])
+        assert got == want, i
