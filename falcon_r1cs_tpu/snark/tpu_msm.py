@@ -44,9 +44,9 @@ The VMEM-resident Pallas point kernels (ops/pallas_fq.py) are the
 round-4/5 path past the HBM-bound XLA formulation: `use_pallas=True`
 (the default when the Mosaic capability probe passes) runs the
 limb-major wide-tree engine (snark/tpu_msm_blocks.py) at
-**0.294 s/MSM device-profiled** for the same shape — ~44x the XLA
-path, within ~1.6x of the host C (ENGINEERING.md "The Pallas MSM
-optimization ladder").
+**0.200 s/MSM device-profiled** for the same shape — ~64x the XLA
+path, at/near parity with the host C's 168-190 ms (ENGINEERING.md
+"The Pallas MSM optimization ladder").
 """
 
 from __future__ import annotations
