@@ -407,3 +407,31 @@ def test_group_windows_divisor(monkeypatch):
     assert tmb._group_windows(1 << 10, 64) == 32
     monkeypatch.setenv("FALCON_R1CS_TPU_MSM_GROUP", "1")
     assert tmb._group_windows(1 << 10, 64) == 1
+
+
+def test_signed_digit_recode_identity():
+    """_window_digits_signed (round 5): magnitudes bounded by 2^(w-1),
+    sign-packed, and the signed digits reconstruct every scalar exactly
+    — sum_w d'_w * 2^(w*window) == scalar, including the boundary
+    values 0, 1, r-1 and the carry-heavy all-ones patterns."""
+    from falcon_r1cs_tpu.snark.points import ints_to_limbs
+
+    for window in (4, 12, 13):
+        scalars = (
+            [secrets.randbelow(bls.R) for _ in range(40)]
+            + [0, 1, bls.R - 1, (1 << 255) % bls.R,
+               int("0x" + "fff" * 21, 16) % bls.R]
+        )
+        packed = tpu_msm._window_digits_signed(
+            ints_to_limbs(scalars, 4), window
+        )
+        mask = (1 << window) - 1
+        half = 1 << (window - 1)
+        for i, s in enumerate(scalars):
+            tot = 0
+            for w in range(packed.shape[0]):
+                p = int(packed[w, i])
+                mag = p & mask
+                assert mag <= half, (window, w, mag)
+                tot += (-mag if p >> window else mag) << (window * w)
+            assert tot == s, (window, i)
