@@ -306,24 +306,16 @@ def _tree_sum_flat(pt, add):
     return pt
 
 
-def _weighted_bucket_sum_flat(bufs, W: int, nb: int, add):
-    """Log-depth Hillis-Steele suffix prefix + pairwise tree over the
-    (NL, W*nb) bucket bank (tpu_msm._weighted_bucket_sum_parallel in
-    flat layout, all W windows per dispatch).  Shifts run along the
-    per-window bucket axis, so windows never mix.  NOTE the pairing
-    inside the tree is positional — fine, bucket order is irrelevant to
-    the total.  Returns coords (NL, W, 1) + inf (W, 1)."""
+def _hs_suffix_weighted(pt, nbk: int, add):
+    """sum_{j>=1} j * X_j over the last axis of pt = (coords (NL, W,
+    nbk), inf (W, nbk)) — Hillis-Steele suffix prefix over the reversed
+    order (drops the weight-0 slot) plus a pairwise tree.  Returns
+    coords (NL, W, 1) + inf (W, 1)."""
     import jax.numpy as jnp
 
-    bx, by, bz, binf = bufs
-    bx = bx.reshape(fq.NL, W, nb)
-    by = by.reshape(fq.NL, W, nb)
-    bz = bz.reshape(fq.NL, W, nb)
-    binf = binf.reshape(W, nb)
-    # bucket 0 has weight 0: drop it, reverse so position j holds bucket
-    # nb-1-j and the suffix prefix produces sum_{k>=j} bucket_k
+    bx, by, bz, binf = pt
     pt = (bx[..., :0:-1], by[..., :0:-1], bz[..., :0:-1], binf[..., :0:-1])
-    L = nb - 1
+    L = nbk - 1
     P2 = 1 << max(1, (L - 1).bit_length())
 
     def pad_end(x, fill):
@@ -357,6 +349,79 @@ def _weighted_bucket_sum_flat(bufs, W: int, nb: int, add):
     live = jnp.arange(P2) < L
     pt = (pt[0], pt[1], pt[2], pt[3] | ~live[None, :])
     return _tree_sum_flat(pt, add)
+
+
+def _wsum_mode(nb: int) -> str:
+    """Weighted-sum strategy: "decomp" (default where applicable) or
+    the legacy "hs" full-width Hillis-Steele (env
+    FALCON_R1CS_TPU_WSUM=hs; also the automatic fallback when nb-1 is
+    not a power of two >= 4).  Trace-time switch, as _bank_layout."""
+    L = nb - 1
+    if L < 4 or L & (L - 1):
+        return "hs"
+    return os.environ.get("FALCON_R1CS_TPU_WSUM", "decomp")
+
+
+def wsum_weights(nb: int) -> list:
+    """Static weights of the per-window part columns that
+    _weighted_bucket_sum_flat returns (all powers of two; the host fold
+    applies them as doublings): decomp mode [CL, 1, L], legacy [1]."""
+    if _wsum_mode(nb) == "hs":
+        return [1]
+    L = nb - 1
+    clb = (L.bit_length() - 1) // 2
+    return [1 << clb, 1, L]
+
+
+def _weighted_bucket_sum_flat(bufs, W: int, nb: int, add):
+    """Per-window weighted bucket sums over the (NL, W*nb) bank.
+
+    "decomp" (round 5): write bucket index d = CL*hi + lo (CL*CH =
+    nb-1, the top bucket L = nb-1 handled as its own part) and use
+      sum_d d*B_d = CL * sum_hi hi*C_hi + sum_lo lo*D_lo + L*B_L,
+      C_hi = sum_lo B[hi, lo],  D_lo = sum_hi B[hi, lo]:
+    two CONTIGUOUS-axis pairwise tree sums over the reshaped bank plus
+    two tiny suffix scans over CH/CL values — ~110 kernel blocks vs the
+    full-width Hillis-Steele's ~480 plus its 11 rounds of pad/shift
+    concat copies.  The CL and L part weights are powers of two and are
+    applied by the HOST fold as doublings (_fold_windows_host), so the
+    device never runs tiny serial point ops.  Returns PART columns:
+    coords (NL, W, P) + inf (W, P) with static weights wsum_weights(nb)
+    ("hs" mode: P = 1, weight [1] — the legacy single total)."""
+    import jax.numpy as jnp
+
+    bx, by, bz, binf = bufs
+    bx = bx.reshape(fq.NL, W, nb)
+    by = by.reshape(fq.NL, W, nb)
+    bz = bz.reshape(fq.NL, W, nb)
+    binf = binf.reshape(W, nb)
+    if _wsum_mode(nb) == "hs":
+        return _hs_suffix_weighted((bx, by, bz, binf), nb, add)
+
+    L = nb - 1
+    clb = (L.bit_length() - 1) // 2
+    CL = 1 << clb
+    CH = L // CL
+    body = (
+        bx[..., :L].reshape(fq.NL, W, CH, CL),
+        by[..., :L].reshape(fq.NL, W, CH, CL),
+        bz[..., :L].reshape(fq.NL, W, CH, CL),
+        binf[..., :L].reshape(W, CH, CL),
+    )
+    C = _tree_sum_flat(body, add)  # (NL, W, CH, 1): sum over lo
+    C = tuple(t[..., 0] for t in C)
+    Dsw = tuple(jnp.swapaxes(t, -1, -2) for t in body)
+    D = _tree_sum_flat(Dsw, add)  # (NL, W, CL, 1): sum over hi
+    D = tuple(t[..., 0] for t in D)
+    S1 = _hs_suffix_weighted(C, CH, add)  # sum hi*C_hi
+    S2 = _hs_suffix_weighted(D, CL, add)  # sum lo*D_lo
+    top = (bx[..., L:], by[..., L:], bz[..., L:], binf[..., L:])
+    return (
+        jnp.concatenate([S1[0], S2[0], top[0]], axis=-1),
+        jnp.concatenate([S1[1], S2[1], top[1]], axis=-1),
+        jnp.concatenate([S1[2], S2[2], top[2]], axis=-1),
+        jnp.concatenate([S1[3], S2[3], top[3]], axis=-1),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -466,22 +531,24 @@ def _window_sums(digits_flat, Xm, Ym, n: int, window: int, add, aff_add,
             s_all.reshape(ng, G, n),
         ),
     )
-    # stacked (ng, NL, G, 1) / (ng, G, 1) -> (NL, nW, 1) / (nW, 1);
+    # stacked (ng, NL, G, P) / (ng, G, P) -> (NL, nW, P) / (nW, P);
     # group-major order g*G + w matches the pre-map concatenation
+    P = gx.shape[-1]
     return (
-        jnp.moveaxis(gx, 0, 1).reshape(fq.NL, nW, 1),
-        jnp.moveaxis(gy, 0, 1).reshape(fq.NL, nW, 1),
-        jnp.moveaxis(gz, 0, 1).reshape(fq.NL, nW, 1),
-        gi.reshape(nW, 1),
+        jnp.moveaxis(gx, 0, 1).reshape(fq.NL, nW, P),
+        jnp.moveaxis(gy, 0, 1).reshape(fq.NL, nW, P),
+        jnp.moveaxis(gz, 0, 1).reshape(fq.NL, nW, P),
+        gi.reshape(nW, P),
     )
 
 
 @functools.lru_cache(maxsize=None)
 def msm_window_sums_jit(n: int, nW: int, window: int):
     """The device program: digits (nW, n) int32 + Montgomery limb-major
-    coords (NL, n) -> per-window bucket-weighted Jacobian sums
-    ((NL, nW, 1) coords + (nW, 1) inf).  One program serves both the
-    single-MSM (nW = nw) and K-fold (nW = nw*K) shapes.
+    coords (NL, n) -> per-window bucket-weighted Jacobian PART sums
+    ((NL, nW, P) coords + (nW, P) inf; static part weights
+    wsum_weights).  One program serves both the single-MSM (nW = nw)
+    and K-fold (nW = nw*K) shapes.
 
     Round 5 moved everything AROUND the window sums off the device:
     - Montgomery conversion is prover preprocessing (`_points_mont`
@@ -543,18 +610,23 @@ def _points_mont(points, n_pad: int):
 
 
 def _fold_windows_host(ws, nw: int, K: int, window: int):
-    """Horner-fold the device window sums on the host, exactly:
-    total_k = sum_w 2^(window*w) * S_{w,k} over Jacobian bigints
+    """Horner-fold the device per-window PART sums on the host, exactly:
+    S_{w,k} = sum_p weight_p * part_{w,k,p} (weights are powers of two,
+    wsum_weights — applied as doublings), then
+    total_k = sum_w 2^(window*w) * S_{w,k}, all over Jacobian bigints
     (snark/bls12_381 group law).  Returns K affine tuples / None.
-    Identical VALUE to the former on-device fold (the group law is
-    exact; Jacobian representatives differ, affine results cannot)."""
+    Identical VALUE to an on-device fold (the group law is exact;
+    Jacobian representatives differ, affine results cannot)."""
     from .bls12_381 import g1_add, g1_double, g1_to_affine
 
+    nb = (1 << (window - 1)) + 1
+    shifts = [wt.bit_length() - 1 for wt in wsum_weights(nb)]
+    P = len(shifts)
     ox, oy, oz, oinf = (np.asarray(t) for t in ws)
-    ox = ox.reshape(fq.NL, nw, K)
-    oy = oy.reshape(fq.NL, nw, K)
-    oz = oz.reshape(fq.NL, nw, K)
-    oinf = oinf.reshape(nw, K)
+    ox = ox.reshape(fq.NL, nw, K, P)
+    oy = oy.reshape(fq.NL, nw, K, P)
+    oz = oz.reshape(fq.NL, nw, K, P)
+    oinf = oinf.reshape(nw, K, P)
     rinv = pow(fq.R_MONT, -1, tm.Q381)
     out = []
     for k in range(K):
@@ -563,12 +635,16 @@ def _fold_windows_host(ws, nw: int, K: int, window: int):
             if total is not None:
                 for _ in range(window):
                     total = g1_double(total)
-            if not bool(oinf[w, k]):
+            for p in range(P):
+                if bool(oinf[w, k, p]):
+                    continue
                 pt = (
-                    fq.limbs_to_int(ox[:, w, k]) * rinv % tm.Q381,
-                    fq.limbs_to_int(oy[:, w, k]) * rinv % tm.Q381,
-                    fq.limbs_to_int(oz[:, w, k]) * rinv % tm.Q381,
+                    fq.limbs_to_int(ox[:, w, k, p]) * rinv % tm.Q381,
+                    fq.limbs_to_int(oy[:, w, k, p]) * rinv % tm.Q381,
+                    fq.limbs_to_int(oz[:, w, k, p]) * rinv % tm.Q381,
                 )
+                for _ in range(shifts[p]):
+                    pt = g1_double(pt)
                 total = g1_add(total, pt)
         out.append(g1_to_affine(total) if total is not None else None)
     return out
