@@ -6,18 +6,18 @@ this module makes the decision an explicit, measured, testable policy.
 The measured facts behind the constants (BASELINE.md, falcon-512
 h_query shape n_pad = 2^17, bit-identical outputs across backends):
 
-  host C (4-core AVX512-IFMA Pippenger):  0.168-0.190 s/MSM
-  TPU Pallas wide-tree (K=1):             0.200 s/MSM device (round 5)
-  TPU Pallas wide-tree K-fold:            198.2-198.7 ms/MSM device at
+  host C (4-core AVX512-IFMA Pippenger):  0.157-0.190 s/MSM
+  TPU Pallas wide-tree (K=1):             0.185 s/MSM device (round 5)
+  TPU Pallas wide-tree K-fold:            182.4-182.8 ms/MSM device at
                                           K=4/8 (flat); wall through
-                                          the tunnel 727-771 vs host
-                                          169-171 in the same runs
+                                          the tunnel 665-691 vs host
+                                          157-165 in the same runs
                                           (BASELINE.md K-fold row)
 
 On THIS host the native backend wins at every measured K — the one v5e
 chip's VPU peak (560 M modmul/s) exceeds the host's 385 M/s, but the
 host pays no sort/scatter glue and no serial tree latency, so its
-end-to-end MSM stays ~1.17x ahead on its best runs.  `TPU_WINS_FROM_K` therefore stays
+end-to-end MSM stays ~1.1x ahead only at its very best runs (it is SLOWER than the chip on its typical 190-230 ms runs, but the wall through THIS dev tunnel adds the digit upload, so the conservative choice stands).  `TPU_WINS_FROM_K` therefore stays
 None ("no measured K-fold crossover"); if a future measurement finds
 one, setting it here flips `prove`/`prove_batch` automatically at that
 batch width.  The TPU engine remains (a) the scale-out path — chips

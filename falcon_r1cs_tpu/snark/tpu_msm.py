@@ -44,8 +44,8 @@ The VMEM-resident Pallas point kernels (ops/pallas_fq.py) are the
 round-4/5 path past the HBM-bound XLA formulation: `use_pallas=True`
 (the default when the Mosaic capability probe passes) runs the
 limb-major wide-tree engine (snark/tpu_msm_blocks.py) at
-**0.200 s/MSM device-profiled** for the same shape — ~64x the XLA
-path, at/near parity with the host C's 168-190 ms (ENGINEERING.md
+**0.185 s/MSM device-profiled** for the same shape — ~70x the XLA
+path, inside the host C's own 157-190 ms range (ENGINEERING.md
 "The Pallas MSM optimization ladder").
 """
 
