@@ -688,12 +688,15 @@ def main():
         ("pipeline_witnesses_per_sec", bench_pipeline, 100),
         ("pipeline_device_witnesses_per_sec",
          lambda: bench_pipeline_device() or 0, 30),
+        # round 5: the MSM stage moved AHEAD of the dual/schoolbook
+        # stages — post-dedupe its compile is ~2 min (cached across
+        # runs) and its dispatch is ~0.6 s, making it MORE deterministic
+        # than the drift-prone witness stages (a tunnel-drift run
+        # recorded dual at 113.5 s and starved the MSM stage out of the
+        # budget); dual/schoolbook are now the sacrifice stages
+        ("tpu_msm2e17_msms_per_sec", lambda: bench_tpu_msm() or 0, 150),
         ("dual_ntt_witnesses_per_sec", bench_dual, 120),
         ("schoolbook_witnesses_per_sec", bench_schoolbook, 120),
-        # last: its pre-check cost is dominated by one remote compile of
-        # the wide-tree MSM program; when earlier stages ran long this is
-        # the stage to sacrifice
-        ("tpu_msm2e17_msms_per_sec", lambda: bench_tpu_msm() or 0, 150),
     ]
     import signal
 
